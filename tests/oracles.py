@@ -1,0 +1,104 @@
+"""Pure-numpy oracles (FIXTURES.md §5) — independent implementations the
+Spark kernels are checked against, mirroring the reference's de-facto
+"all 17 variants agree" strategy (SURVEY §5) with an independent baseline.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+def _adj(pairs: list[tuple[int, int]]) -> dict[int, set[int]]:
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def tc_oracle(pairs) -> tuple[int, dict[int, int]]:
+    """Exact global + per-vertex triangle counts (i<j<k orientation)."""
+    adj = _adj(pairs)
+    per = Counter()
+    total = 0
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            common = adj[u] & adj[v]
+            for w in common:
+                if w > v:
+                    total += 1
+                    per[u] += 1
+                    per[v] += 1
+                    per[w] += 1
+    return total, dict(per)
+
+
+def pagerank_oracle(
+    pairs_directed, n: int, d: float = 0.85, tol: float = 1e-6, max_iter: int = 100
+) -> np.ndarray:
+    """Dense power iteration; dangling mass redistributed uniformly.
+    ``pairs_directed``: (src, dst) directed edges over vertices 0..n-1."""
+    out = defaultdict(list)
+    for u, v in pairs_directed:
+        out[u].append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            if out.get(u):
+                share = r[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += share
+            else:
+                dangling += r[u]
+        nxt = (1.0 - d) / n + d * (nxt + dangling / n)
+        if np.max(np.abs(nxt - r)) < tol:
+            return nxt
+        r = nxt
+    return r
+
+
+def cc_oracle(pairs, vertices) -> dict[int, int]:
+    """Component id = min vertex id in the component (BFS)."""
+    adj = _adj(pairs)
+    comp = {}
+    for v in sorted(vertices):
+        if v in comp:
+            continue
+        stack, members = [v], []
+        seen = {v}
+        while stack:
+            x = stack.pop()
+            members.append(x)
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(members)
+        for x in members:
+            comp[x] = m
+    return comp
+
+
+def lp_oracle(pairs, vertices, num_iter: int) -> dict[int, int]:
+    """Synchronous label propagation, ties → smallest label."""
+    adj = _adj(pairs)
+    labels = {v: v for v in vertices}
+    for _ in range(num_iter):
+        nxt = {}
+        for v in vertices:
+            nbrs = adj.get(v)
+            if not nbrs:
+                nxt[v] = labels[v]
+                continue
+            freq = Counter(labels[u] for u in nbrs)
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels

@@ -1,0 +1,60 @@
+import pytest
+
+from conftest import edges_df
+from fixtures import GOLDEN_TC, er_graph
+from oracles import tc_oracle
+
+from tric_spark import graph
+from tric_spark.operators import tc
+from tric_spark.sources import read_binary_csr
+
+KARATE = "/root/reference/karate.bin"
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_TC))
+def test_golden_micrographs(spark, name):
+    pairs, expected = GOLDEN_TC[name]
+    canon = graph.canonical_edges(edges_df(spark, pairs))
+    deg = graph.degrees(graph.symmetrize(canon))
+    odeg = graph.orient_by_degree(canon, deg)
+    assert tc.triangle_count_join(canon) == expected
+    assert tc.triangle_count_join(canon, prune=True) == expected
+    assert tc.triangle_count_join(odeg, deg=deg) == expected
+    assert tc.triangle_count_adj(odeg) == expected
+    assert tc.triangle_count_adj(canon) == expected
+
+
+def test_karate_global_and_per_vertex(spark):
+    edges = read_binary_csr(spark, KARATE)
+    canon = graph.canonical_edges(edges)
+    deg = graph.degrees(graph.symmetrize(canon))
+    odeg = graph.orient_by_degree(canon, deg)
+
+    assert tc.triangle_count_join(canon) == 45
+    assert tc.triangle_count_join(odeg, deg=deg) == 45
+    assert tc.triangle_count_adj(odeg) == 45
+
+    pv = {r.vid: r.tc for r in tc.triangles_per_vertex_join(canon).collect()}
+    expected_first10 = [18, 12, 11, 10, 2, 3, 3, 6, 5, 0]
+    for v, want in enumerate(expected_first10):
+        assert pv.get(v, 0) == want, f"v{v}"
+
+    pv2 = {r.vid: r.tc for r in tc.triangles_per_vertex_adj(odeg).collect()}
+    assert pv2 == pv
+
+
+def test_random_graph_vs_oracle(spark):
+    pairs = er_graph(n=80, p_inv=12)
+    total, per = tc_oracle(pairs)
+    assert total > 0  # fixture sanity: graph must actually have triangles
+    canon = graph.canonical_edges(edges_df(spark, pairs))
+    deg = graph.degrees(graph.symmetrize(canon))
+    odeg = graph.orient_by_degree(canon, deg)
+
+    assert tc.triangle_count_join(canon) == total
+    assert tc.triangle_count_join(canon, prune=True) == total
+    assert tc.triangle_count_join(odeg, deg=deg) == total
+    assert tc.triangle_count_adj(odeg) == total
+
+    pv = {r.vid: r.tc for r in tc.triangles_per_vertex_adj(odeg).collect()}
+    assert pv == per

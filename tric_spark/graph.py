@@ -1,0 +1,144 @@
+"""Edge-table construction and normalization — the §2.2 dataflow, Spark-first.
+
+Reference analogs (cited per SURVEY.md §2.2):
+- symmetrize        → generator emits both directions   (graph.hpp:814–819)
+- dedup             → linear find_if duplicate rejection (graph.hpp:1055–1060)
+- sort by (src,dst) → sorted-adjacency invariant         (graph.hpp:1190–1198)
+- 1-D partitioning  → parts_/get_owner                   (graph.hpp:124–188)
+- orientation i<j<k → inbufastric exact-1× counting      (inbufastric.hpp:192)
+- degree-ordered orientation: the HPEC'22 "exploit the graph structure" idea
+  taken to its standard conclusion — orient hub edges away from hubs so the
+  wedge count per vertex is O(sqrt(m)) instead of O(deg²).
+
+Everything here is declarative DataFrame plan — Catalyst handles pushdown and
+AQE handles balance; no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Vertex ids
+# ---------------------------------------------------------------------------
+
+
+def assign_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Map distinct urls → int64 vertex ids via xxhash64.
+
+    At 10^12-document scale a global dictionary (row_number over a total
+    order) is a prohibitive single sort; xxhash64 gives a stable, shuffle-free
+    id. Collision probability at n=10^12 over 64 bits ≈ n²/2^65 ≈ 2.7% for
+    the whole corpus — so callers must run :func:`audit_id_collisions` and
+    fall back to :func:`assign_dense_ids` (or widen to 128-bit via two
+    hashes) if it reports any. Returns (url, vid).
+    """
+    return urls.select(url_col).distinct().withColumn("vid", F.xxhash64(F.col(url_col)))
+
+
+def audit_id_collisions(ids: DataFrame, id_col: str = "vid", key_col: str = "url") -> int:
+    """Count distinct keys that collided on the hash id (should be 0)."""
+    return (
+        ids.groupBy(id_col)
+        .agg(F.countDistinct(key_col).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def assign_dense_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic dense ids 0..n-1 via row_number over url order.
+
+    Test-scale / oracle path only (global sort); production uses
+    :func:`assign_vertex_ids`.
+    """
+    w = Window.orderBy(url_col)
+    return (
+        urls.select(url_col)
+        .distinct()
+        .withColumn("vid", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge normalization
+# ---------------------------------------------------------------------------
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (least, greatest), self-loops dropped,
+    exact-duplicate edges dropped. One row per undirected edge {u,v}, u<v.
+
+    This is the deduped oriented view the TC kernels consume — the Spark form
+    of the reference's sorted symmetric CSR minus the double storage.
+    """
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge — the reference's symmetric storage
+    (graph.hpp:814–819). Input: canonical (u<v) edges; output has 2×rows."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degrees(sym_edges: DataFrame) -> DataFrame:
+    """(vid, degree) from the symmetric edge table — undirected degree."""
+    return sym_edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("degree"))
+
+
+def orient_by_degree(canon: DataFrame, deg: DataFrame) -> DataFrame:
+    """Re-orient canonical edges by (degree, id): edge points from the
+    endpoint with smaller (degree, id) to the larger.
+
+    Exact same triangle count as id-orientation, but the out-degree of every
+    vertex in the oriented graph is O(sqrt(m)) — kills the hub wedge blowup
+    that makes id-orientation quadratic on power-law graphs (the scale move
+    behind HPEC'22's structure exploitation; SURVEY §4 #1).
+    """
+    d = deg.select(F.col("vid"), F.col("degree"))
+    e = (
+        canon.join(d.withColumnsRenamed({"vid": "src", "degree": "sdeg"}), "src")
+        .join(d.withColumnsRenamed({"vid": "dst", "degree": "ddeg"}), "dst")
+    )
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def adjacency(oriented: DataFrame) -> DataFrame:
+    """(src, nbrs sorted ascending) — the CSR adjacency-list view.
+
+    ``array_sort(collect_list(...))`` reproduces the reference's sorted-
+    adjacency invariant (graph.hpp:1190–1198) at the row level; the sort is
+    per-list, not global, so this is one shuffle + local sorts.
+    """
+    return oriented.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+
+
+def vertices(sym_edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids present in the edge table."""
+    return sym_edges.select(F.col("src").alias("vid")).distinct()
+
+
+def vertex_stats(oriented: DataFrame) -> DataFrame:
+    """Per-vertex neighbor min/max — the broadcastable zone-map the
+    reference's erange pruning uses (hbufastric.hpp:179–197, 233–235)."""
+    return oriented.groupBy("src").agg(
+        F.min("dst").alias("min_nbr"),
+        F.max("dst").alias("max_nbr"),
+        F.count("*").alias("out_deg"),
+    )

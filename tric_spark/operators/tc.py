@@ -1,0 +1,215 @@
+"""Exact triangle counting — the reference's flagship query, Spark-first.
+
+The reference implements ONE logical query in 17 physical variants
+(tric.hpp, fastric.hpp, …, chashfastric.hpp; SURVEY §2.3). All collapse here
+to two physical strategies over one logical plan:
+
+1. ``triangle_count_join`` — wedge generation + edge-existence probe as two
+   shuffled joins. The reference's ``MPI_Alltoallv`` of (j,k) query pairs
+   (fastric.hpp:201) IS the shuffle; the sorted-adjacency membership probe
+   (``check_edgelist``, tric.hpp:163–177) IS the semi-join.
+
+2. ``triangle_count_adj`` — per-edge sorted-adjacency intersection with the
+   neighbor lists shipped as Arrow arrays and intersected in vectorized
+   numpy (the CSR-block path; ``fast_check_edgelist`` midpoint search,
+   inbufastric.hpp:506–549, becomes ``np.intersect1d`` at block granularity).
+
+Both use the exact-1× orientation of the recommended variant
+(``-DAGGR_BUFR_INRECV``: ``global_i < j < k``, inbufastric.hpp:129–131, 192;
+count returned unscaled, inbufastric.hpp:845). With ``orient_by_degree`` the
+orientation key is (degree, id) instead of id — identical count, and the
+per-vertex wedge count drops from O(deg²) to O(m) total, which is what makes
+the plan survive hub vertices at Common-Crawl scale.
+
+The erange pruning of the heuristic variants (hbufastric.hpp:233–235,
+547–566) is reproduced as a broadcast per-vertex min/max zone-map join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tric_spark import graph
+
+
+def _wedges(oriented: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """All wedges (i → j, i → k) with j before k in the orientation order.
+
+    Reference: the double loop over the sorted adjacency with n > m
+    (tric.hpp:132–161). The ordering filter is the sorted-adjacency n>m
+    invariant — and it MUST use the same total order the edges were oriented
+    by, or the closing-edge probe misses edges stored the other way. With
+    ``deg`` given, that order is (degree, id) (degree-ordered orientation);
+    otherwise plain id order.
+    """
+    if deg is None:
+        e1 = oriented.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+        e2 = oriented.select(F.col("src").alias("i"), F.col("dst").alias("k"))
+        return e1.join(e2, "i").filter(F.col("j") < F.col("k"))
+    ed = oriented.join(
+        deg.select(F.col("vid").alias("dst"), F.col("degree")), "dst"
+    )
+    e1 = ed.select(F.col("src").alias("i"), F.col("dst").alias("j"), F.col("degree").alias("jd"))
+    e2 = ed.select(F.col("src").alias("i"), F.col("dst").alias("k"), F.col("degree").alias("kd"))
+    return (
+        e1.join(e2, "i")
+        .filter(F.struct("jd", "j") < F.struct("kd", "k"))
+        .select("i", "j", "k")
+    )
+
+
+def triangles_join(
+    oriented: DataFrame, prune: bool = False, deg: DataFrame | None = None
+) -> DataFrame:
+    """All triangles (i, j, k) — one row per triangle, exactly once.
+
+    ``deg``: pass the undirected degree table when ``oriented`` came from
+    :func:`tric_spark.graph.orient_by_degree`, so the wedge ordering matches
+    the orientation order.
+
+    ``prune=True`` adds the reference's edge-range heuristic
+    (hbufastric.hpp:233–235): wedges whose k falls outside j's neighbor
+    min/max zone-map cannot close, so they are dropped *before* the probe
+    shuffle via a broadcast stats join.
+    """
+    wedges = _wedges(oriented, deg=deg)
+    if prune:
+        stats = graph.vertex_stats(oriented).select(
+            F.col("src").alias("j"), "min_nbr", "max_nbr"
+        )
+        wedges = wedges.join(F.broadcast(stats), "j").filter(
+            F.col("k").between(F.col("min_nbr"), F.col("max_nbr"))
+        ).select("i", "j", "k")
+    probe = oriented.select(F.col("src").alias("j"), F.col("dst").alias("k"))
+    # Semi-join = the edge-existence probe; each wedge matches at most once
+    # (edges are deduped), so the count is exact with no /3 rescale.
+    return wedges.join(probe, ["j", "k"], "left_semi").select("i", "j", "k")
+
+
+def triangle_count_join(
+    oriented: DataFrame, prune: bool = False, deg: DataFrame | None = None
+) -> int:
+    return triangles_join(oriented, prune=prune, deg=deg).count()
+
+
+def triangles_per_vertex_join(oriented: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """(vid, tc) — per-vertex triangle participation counts, exact.
+
+    Vertices in no triangle are absent (join with the vertex set to
+    zero-fill if needed)."""
+    tri = triangles_join(oriented, deg=deg)
+    corners = tri.select(F.explode(F.array("i", "j", "k")).alias("vid"))
+    return corners.groupBy("vid").agg(F.count("*").alias("tc"))
+
+
+# ---------------------------------------------------------------------------
+# CSR-block / Arrow path
+# ---------------------------------------------------------------------------
+
+
+def _intersect_pairs(
+    idx_a: np.ndarray, val_a: np.ndarray, idx_b: np.ndarray, val_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Set-intersect two (edge_index, vertex) pair collections, vectorized.
+
+    Each side holds the flattened adjacency lists of one endpoint of every
+    edge in the batch, tagged with the edge's row index. A pair present on
+    both sides = a closed wedge = a triangle. This is the whole-batch
+    vectorized form of the reference's per-query sorted scan
+    (check_edgelist, tric.hpp:163–177) — one numpy sort-merge instead of
+    millions of per-wedge probes.
+    """
+    dt = np.dtype([("i", "<i8"), ("v", "<i8")])
+    a = np.empty(len(idx_a), dtype=dt)
+    a["i"], a["v"] = idx_a, val_a
+    b = np.empty(len(idx_b), dtype=dt)
+    b["i"], b["v"] = idx_b, val_b
+    # adjacency lists are deduped → pairs unique per side
+    common = np.intersect1d(a, b, assume_unique=True)
+    return common["i"], common["v"]
+
+
+def _flatten(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of int arrays → (row_index_repeated, values)."""
+    lens = np.fromiter((0 if v is None else len(v) for v in col), dtype=np.int64, count=len(col))
+    idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    if idx.size == 0:
+        return idx, np.empty(0, dtype=np.int64)
+    vals = np.concatenate([np.asarray(v, dtype=np.int64) for v in col if v is not None and len(v)])
+    return idx, vals
+
+
+def _edges_with_adjacency(oriented: DataFrame) -> DataFrame:
+    """Join every oriented edge with the out-adjacency of both endpoints.
+
+    The src-side join is co-partitioned with the adjacency build (both hash
+    on src → one shuffle reused); the dst-side join ships each adjacency
+    list once per in-edge — the Spark analog of the reference's ghost-edge
+    query traffic, but batched columnar (Arrow) instead of per-query
+    messages.
+    """
+    adj = graph.adjacency(oriented)
+    return (
+        oriented.join(adj.withColumnRenamed("nbrs", "src_nbrs"), "src")
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")),
+            "dst",
+            "inner",  # edges whose dst has no out-neighbors close no wedge
+        )
+        .select("src", "dst", "src_nbrs", "dst_nbrs")
+    )
+
+
+def triangles_per_vertex_adj(oriented: DataFrame) -> DataFrame:
+    """(vid, tc) via the CSR/Arrow kernel. Exact; matches the join path."""
+    ewa = _edges_with_adjacency(oriented)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ia, va = _flatten(pdf["src_nbrs"])
+            ib, vb = _flatten(pdf["dst_nbrs"])
+            ei, wit = _intersect_pairs(ia, va, ib, vb)
+            if ei.size == 0:
+                continue
+            src = pdf["src"].to_numpy()[ei]
+            dst = pdf["dst"].to_numpy()[ei]
+            # map-side partial aggregation — the reference's local counters
+            # before MPI_Reduce (tric.hpp:215–216)
+            vids, cnts = np.unique(np.concatenate([src, dst, wit]), return_counts=True)
+            yield pd.DataFrame({"vid": vids, "partial": cnts})
+
+    partials = ewa.mapInPandas(kernel, schema="vid long, partial long")
+    return partials.groupBy("vid").agg(F.sum("partial").alias("tc"))
+
+
+def triangle_count_adj(oriented: DataFrame) -> int:
+    """Global exact triangle count via the CSR/Arrow kernel.
+
+    Each triangle is found exactly once (at its base edge — the two
+    orientation-smallest vertices), so the global count needs no rescale;
+    the per-vertex partials count it at 3 corners, hence /3 here mirrors
+    the non-oriented variants' ttc/3 (tric.hpp:215–217).
+    """
+    ewa = _edges_with_adjacency(oriented)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ia, va = _flatten(pdf["src_nbrs"])
+            ib, vb = _flatten(pdf["dst_nbrs"])
+            ei, _ = _intersect_pairs(ia, va, ib, vb)
+            total += int(ei.size)
+        yield pd.DataFrame({"partial": [total]})
+
+    partials = ewa.mapInPandas(kernel, schema="partial long")
+    row = partials.agg(F.sum("partial").alias("tc")).collect()[0]
+    return int(row["tc"] or 0)
