@@ -1,0 +1,80 @@
+import re
+
+from pyspark.sql import functions as F
+
+from tric_spark import graph, synth
+from tric_spark.extract import (
+    extract_outlinks,
+    extract_text,
+    outlink_edges,
+    with_extracted,
+)
+
+
+def test_pinned_extractor_pure():
+    html = (
+        b"<html><head><title> T1 </title></head><body>"
+        b"<p>hello <b>world</b></p><p></p><p>  two  </p>"
+        b'<a href="https://a.example/x">l</a><a href="https://b.example/y">l</a>'
+        b"</body></html>"
+    )
+    assert extract_text(html) == "T1\nhello world\ntwo"
+    assert extract_outlinks(html) == ["https://a.example/x", "https://b.example/y"]
+    assert extract_text(None) == ""
+    assert extract_outlinks(b"<html></html>") == []
+
+
+def test_byte_identity_text_per_url(spark):
+    """North-rule invariant: engine-extracted text == pinned extractor
+    output == the pages table's text column, byte-for-byte per url."""
+    pages = synth.pages_table(spark, n_pages=300, seed=42)
+    ext = with_extracted(pages).select("url", "text", "extracted_text", "html").collect()
+    assert len(ext) == 300
+    for r in ext:
+        pinned = extract_text(bytes(r.html))
+        assert r.extracted_text == r.text == pinned, r.url
+        assert r.extracted_text.encode() == r.text.encode()
+
+
+def test_outlink_edges_match_idspace_graph(spark):
+    """Extraction path (html → hrefs → parse ids) reproduces the id-space
+    generator exactly — the whole pages→edges pipeline is consistent."""
+    n = 250
+    pages = synth.pages_table(spark, n_pages=n, seed=42)
+    via_html = (
+        outlink_edges(pages)
+        .select(
+            F.regexp_extract("src_url", r"/p/(\d+)$", 1).cast("long").alias("src"),
+            F.regexp_extract("dst_url", r"/p/(\d+)$", 1).cast("long").alias("dst"),
+        )
+    )
+    direct = synth.link_edges(spark, n_pages=n, seed=42)
+    assert via_html.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_html).count() == 0
+    assert direct.count() > n  # sanity: avg out-degree > 1
+
+
+def test_synth_determinism_across_parallelism(spark):
+    """Same table at 2 and 16 partitions — the LCG-analog invariant
+    (pure function of (seed, id), SURVEY §2.1)."""
+    a = synth.pages_table(spark, 200, seed=7).repartition(2).orderBy("vid").collect()
+    b = synth.pages_table(spark, 200, seed=7).repartition(16).orderBy("vid").collect()
+    assert a == b
+
+
+def test_synth_has_hubs(spark):
+    """The degree law must produce hub vertices (skew is exercised)."""
+    edges = synth.link_edges(spark, 2000, seed=42)
+    sym = graph.symmetrize(graph.canonical_edges(edges))
+    top = graph.degrees(sym).agg(F.max("degree")).collect()[0][0]
+    assert top >= 50, f"max degree {top} too small for skew tests"
+
+
+def test_vertex_id_assignment(spark):
+    pages = synth.pages_table(spark, 300, seed=42)
+    ids = graph.assign_vertex_ids(pages.select("url"))
+    assert ids.count() == 300
+    assert graph.audit_id_collisions(ids) == 0
+    dense = graph.assign_dense_ids(pages.select("url"))
+    got = [r.vid for r in dense.orderBy("vid").collect()]
+    assert got == list(range(300))

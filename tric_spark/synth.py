@@ -1,0 +1,116 @@
+"""Deterministic synthetic Common-Crawl-style pages + link graph (FIXTURES §1–2).
+
+The reference ships a synthetic RGG generator driven by a reproducible
+parallel LCG (graph.hpp:626–1258, utils.hpp:200–385) so any rank count
+produces the same graph. Our analog: every column is a pure expression of
+``(seed, row_id)`` via ``xxhash64`` — no RNG state, no sequential
+dependency, so the same table materializes identically at any parallelism
+(the property the LCG's matrix-power prefix scheme buys; SURVEY §2.1 maps
+it to exactly this).
+
+Everything is built with JVM-side column expressions (`sequence`,
+`transform`, `filter`, `concat`) — zero Python in the generator, so synth
+at bench scale runs at whole-stage-codegen speed.
+
+The out-degree law is a truncated power law (hub vertices guaranteed) so
+skew handling is actually exercised (FIXTURES §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = (
+    "link graph web page crawl rank spark node edge hub index query data "
+    "count join scan merge sort hash part"
+).split()
+
+
+def _url_of(vid: Column, seed: int) -> Column:
+    h = F.xxhash64(F.lit(seed), vid)
+    return F.concat(
+        F.lit("https://site"),
+        F.pmod(h, F.lit(1000)).cast("string"),
+        F.lit(".example/p/"),
+        vid.cast("string"),
+    )
+
+
+def _out_targets(vid: Column, h1: Column, deg: Column, n: int) -> Column:
+    """Deterministic outlink target ids: (i*37 + j² + h1%7) % n for
+    j in 1..deg, minus self-loops, deduped (FIXTURES §2)."""
+    raw = F.transform(
+        F.sequence(F.lit(1), deg),
+        lambda j: F.pmod(vid * 37 + j * j + F.pmod(h1, F.lit(7)), F.lit(n)),
+    )
+    return F.array_distinct(F.filter(raw, lambda d: d != vid))
+
+
+def pages_table(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+    """(url, warc_ts, html, text, lang) — the north-rule input shape.
+
+    ``text`` is constructed to be exactly what the pinned extractor
+    (tric_spark.extract.extract_text) produces from ``html`` — the
+    byte-identity tests assert it.
+    """
+    n = n_pages
+    df = spark.range(n).withColumnRenamed("id", "vid")
+    h1 = F.xxhash64(F.lit(seed), F.col("vid"))
+    h2 = F.xxhash64(F.lit(seed + 1), F.col("vid"))
+    # truncated power law: u ∈ (0,1], deg = min(cap, 1 + floor(2/u²))
+    # → P(deg > D) ~ sqrt(2/D), heavy tail capped at n/10
+    u = (F.pmod(h2, F.lit(1000)) + 1) / F.lit(1000.0)
+    cap = max(2, n // 10)
+    deg = F.least(F.lit(cap), (F.lit(1) + F.floor(F.lit(2.0) / (u * u)))).cast("int")
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    nv = len(VOCAB)
+    word = lambda k: F.element_at(vocab, (F.pmod(F.xxhash64(F.lit(seed + 10 + k), F.col("vid")), F.lit(nv)) + 1).cast("int"))
+    body = F.concat_ws(" ", F.lit("page"), F.col("vid").cast("string"), F.lit("about"), word(0), word(1), word(2), word(3))
+
+    targets = _out_targets(F.col("vid"), h1, deg, n)
+    anchors = F.array_join(
+        F.transform(
+            targets,
+            lambda d: F.concat(F.lit('<a href="'), _url_of(d, seed), F.lit('">l</a>')),
+        ),
+        "",
+    )
+    title = F.concat(F.lit("t"), F.col("vid").cast("string"))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
+        body, F.lit("</p>"), anchors, F.lit("</body></html>"),
+    )
+    text = F.concat(title, F.lit("\n"), body)
+
+    return df.select(
+        F.col("vid"),
+        _url_of(F.col("vid"), seed).alias("url"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1735689600) + F.pmod(h1, F.lit(31536000)))
+        ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+            (F.pmod(h1, F.lit(4)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def link_edges(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+    """Directed (src, dst) edge table — the same graph the pages' anchors
+    encode, generated directly in id space (bypasses html parsing; used by
+    benchmarks and as the ground truth the extraction path must reproduce)."""
+    n = n_pages
+    df = spark.range(n).withColumnRenamed("id", "vid")
+    h1 = F.xxhash64(F.lit(seed), F.col("vid"))
+    h2 = F.xxhash64(F.lit(seed + 1), F.col("vid"))
+    u = (F.pmod(h2, F.lit(1000)) + 1) / F.lit(1000.0)
+    cap = max(2, n // 10)
+    deg = F.least(F.lit(cap), (F.lit(1) + F.floor(F.lit(2.0) / (u * u)))).cast("int")
+    targets = _out_targets(F.col("vid"), h1, deg, n)
+    return df.select(
+        F.col("vid").alias("src"), F.explode(targets).alias("dst")
+    )
