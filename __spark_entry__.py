@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: per-vertex exact triangle counts over the
+link graph derived from the sf0.001 documents table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-pipeline family), each replayed by the driver
+against DuckDB at sf0.01. Column names/aliases match the SQL exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +13,469 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tric_spark import graph
+from tric_spark.operators import dedup, similarity, tc, textstats
+from tric_spark.operators.cc import connected_components
+from tric_spark.operators.lp import label_propagation
+from tric_spark.operators.pagerank import pagerank
+from tric_spark.sources.doc_graph import DOC_EDGES_SQL, doc_edges
+from tric_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _graph_tables(spark: SparkSession, sf_dir: str):
+    canon = doc_edges(spark, sf_dir)
+    sym = graph.symmetrize(canon)
+    verts = graph.vertices(sym)
+    deg = graph.degrees(sym)
+    return canon, sym, verts, deg
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: degree-ordered adjacency-intersection triangle counting
+    (the reference's recommended AGGR_BUFR_INRECV semantics) per vertex."""
+    canon, sym, verts, deg = _graph_tables(spark, SF0001)
+    oriented = graph.orient_by_degree(canon, deg)
+    pv = tc.triangles_per_vertex_adj(oriented)
+    return (
+        pv.join(deg, "vid")
+        .select("vid", "tc", "degree")
+        .orderBy(F.col("tc").desc(), F.col("vid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _scalar(df_count: int, spark: SparkSession, name: str) -> DataFrame:
+    return spark.createDataFrame([(int(df_count),)], f"{name} long")
+
+
+def q_edges_canonical(spark, sf_dir):
+    return doc_edges(spark, sf_dir)
+
+
+def q_degree_histogram(spark, sf_dir):
+    _, _, _, deg = _graph_tables(spark, sf_dir)
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+def q_wedge_count(spark, sf_dir):
+    _, _, _, deg = _graph_tables(spark, sf_dir)
+    return deg.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2).cast("long").alias("wedges")
+    )
+
+
+def q_triangle_count_join(spark, sf_dir):
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return _scalar(tc.triangle_count_join(canon), spark, "tc")
+
+
+def q_triangle_count_join_pruned(spark, sf_dir):
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return _scalar(tc.triangle_count_join(canon, prune=True), spark, "tc")
+
+
+def q_triangle_count_adj(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return _scalar(tc.triangle_count_adj(oriented), spark, "tc")
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return tc.triangles_per_vertex_adj(oriented)
+
+
+def q_cc_hashmin_step1(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    nbr_min = sym.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("m"))
+    return nbr_min.select("vid", F.least("vid", "m").alias("comp"))
+
+
+def q_cc_converged(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return connected_components(sym, verts)
+
+
+def q_pagerank_iter2(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    r = pagerank(sym, verts, d=0.85, tol=0.0, max_iter=2)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_lp_iter2(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return label_propagation(sym, verts, num_iter=2)
+
+
+def q_top_hubs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    w = Window.orderBy(F.col("degree").desc(), F.col("vid").asc())
+    return (
+        deg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vid", "degree")
+    )
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_groups(spark, sf_dir):
+    return dedup.simhash_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# rows-only checks (no closed-form SQL): approximate / convergent kernels
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_pagerank_converged(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    r = pagerank(sym, verts, tol=1e-8, max_iter=60)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_canonical": q_edges_canonical,
+        "degree_histogram": q_degree_histogram,
+        "wedge_count": q_wedge_count,
+        "triangle_count_join": q_triangle_count_join,
+        "triangle_count_join_pruned": q_triangle_count_join_pruned,
+        "triangle_count_adj": q_triangle_count_adj,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "cc_hashmin_step1": q_cc_hashmin_step1,
+        "cc_converged": q_cc_converged,
+        "pagerank_iter2": q_pagerank_iter2,
+        "lp_iter2": q_lp_iter2,
+        "top_hubs": q_top_hubs,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_groups": q_simhash_groups,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "pagerank_converged": q_pagerank_converged,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+E = DOC_EDGES_SQL  # shared CTE block: nd, raw, und, sym, deg
+
+_TRI = """
+  tri AS (
+    SELECT e1.src AS i, e1.dst AS j, e2.dst AS k
+    FROM und e1
+    JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  )
+"""
+
+_TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
+    return {
+        "edges_canonical": f"WITH {E} SELECT src, dst FROM und",
+        "degree_histogram": f"""
+            WITH {E}
+            SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+        """,
+        "wedge_count": f"""
+            WITH {E}
+            SELECT CAST(sum(degree*(degree-1))/2 AS BIGINT) AS wedges FROM deg
+        """,
+        "triangle_count_join": tc_sql,
+        "triangle_count_join_pruned": tc_sql,
+        "triangle_count_adj": tc_sql,
+        "triangles_per_vertex": f"""
+            WITH {E}, {_TRI}
+            SELECT vid, count(*) AS tc FROM (
+              SELECT i AS vid FROM tri
+              UNION ALL SELECT j FROM tri
+              UNION ALL SELECT k FROM tri
+            ) GROUP BY vid
+        """,
+        "cc_hashmin_step1": f"""
+            WITH {E}
+            SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp
+            FROM sym s GROUP BY s.dst
+        """,
+        "cc_converged": f"""
+            WITH RECURSIVE {E},
+            r(vid, x) AS (
+              SELECT vid, vid FROM deg
+              UNION
+              SELECT s.dst, r.x FROM sym s JOIN r ON r.vid = s.src
+            )
+            SELECT vid, min(x) AS comp FROM r GROUP BY vid
+        """,
+        "pagerank_iter2": f"""
+            WITH {E},
+            nv AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank, degree FROM deg),
+            r1 AS (
+              SELECT s.dst AS vid,
+                     0.15/(SELECT n FROM nv) + 0.85*sum(r.rank/r.degree) AS rank
+              FROM sym s JOIN r0 r ON s.src = r.vid GROUP BY s.dst
+            ),
+            r1d AS (SELECT r1.vid, r1.rank, d.degree FROM r1 JOIN deg d ON r1.vid = d.vid),
+            r2 AS (
+              SELECT s.dst AS vid,
+                     0.15/(SELECT n FROM nv) + 0.85*sum(r.rank/r.degree) AS rank
+              FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
+            )
+            SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        "lp_iter2": f"""
+            WITH {E},
+            l1 AS (SELECT s.dst AS vid, min(s.src) AS label FROM sym s GROUP BY s.dst),
+            freq2 AS (
+              SELECT s.dst AS vid, l.label, count(*) AS n
+              FROM sym s JOIN l1 l ON l.vid = s.src GROUP BY s.dst, l.label
+            )
+            SELECT vid, label FROM (
+              SELECT vid, label,
+                     row_number() OVER (PARTITION BY vid ORDER BY n DESC, label ASC) AS rn
+              FROM freq2
+            ) WHERE rn = 1
+        """,
+        "top_hubs": f"""
+            WITH {E}
+            SELECT vid, degree FROM (
+              SELECT vid, degree,
+                     row_number() OVER (ORDER BY degree DESC, vid ASC) AS rn
+              FROM deg
+            ) WHERE rn <= 20
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "quality_scores": f"""
+            WITH {_TOKS},
+            st AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS n_stop,
+                     length(text) - length(replace(text, '.', '')) AS n_punct
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, n_stop, n_punct,
+                   round(least(1.0, n_tokens/50.0)
+                         * (0.5 + 0.5*n_stop/greatest(n_tokens, 1)), 4) AS score
+            FROM st
+        """,
+        "lang_id": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT doc_id, lang, hits FROM (
+                SELECT doc_id,
+                       unnest(['de','en','es','fr']) AS lang,
+                       unnest([
+                         len(list_filter(t, x -> x = 'der')),
+                         len(list_filter(t, x -> x = 'the')),
+                         len(list_filter(t, x -> x = 'el')),
+                         len(list_filter(t, x -> x = 'le'))
+                       ]) AS hits
+                FROM toks
+              )
+            )
+            SELECT doc_id, lang AS pred_lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+              FROM hits
+            ) WHERE rn = 1
+        """,
+        "fingerprints": f"""
+            WITH {_TOKS}
+            SELECT doc_id,
+                   CASE WHEN len(t) < 5 THEN md5(text)
+                        ELSE (
+                          SELECT min(md5(array_to_string(list_slice(t, i, i+4), ' ')))
+                          FROM unnest(generate_series(1, len(t)-4)) AS u(i)
+                        )
+                   END AS fingerprint
+            FROM toks
+        """,
+        "minhash_signatures": f"""
+            WITH {_TOKS},
+            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
+            SELECT doc_id,
+                   list_min(list_transform(dt, x -> md5(x || '#0'))) AS mh0,
+                   list_min(list_transform(dt, x -> md5(x || '#1'))) AS mh1,
+                   list_min(list_transform(dt, x -> md5(x || '#2'))) AS mh2,
+                   list_min(list_transform(dt, x -> md5(x || '#3'))) AS mh3
+            FROM d
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_TOKS},
+            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+            sig AS (
+              SELECT doc_id,
+                     md5(list_min(list_transform(dt, x -> md5(x || '#0')))
+                         || list_min(list_transform(dt, x -> md5(x || '#1')))) AS band0,
+                     md5(list_min(list_transform(dt, x -> md5(x || '#2')))
+                         || list_min(list_transform(dt, x -> md5(x || '#3')))) AS band1
+              FROM d
+            )
+            SELECT DISTINCT a, b FROM (
+              SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band0 = y.band0
+              UNION ALL
+              SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band1 = y.band1
+            ) WHERE a < b
+        """,
+        "ngram_jaccard": f"""
+            WITH {_TOKS},
+            d AS (SELECT doc_id, list_distinct(t) AS dt, t, text FROM toks),
+            sig AS (
+              SELECT doc_id,
+                     md5(list_min(list_transform(dt, x -> md5(x || '#0')))
+                         || list_min(list_transform(dt, x -> md5(x || '#1')))) AS band0,
+                     md5(list_min(list_transform(dt, x -> md5(x || '#2')))
+                         || list_min(list_transform(dt, x -> md5(x || '#3')))) AS band1
+              FROM d
+            ),
+            cand AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band0 = y.band0
+                UNION ALL
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band1 = y.band1
+              ) WHERE a < b
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [text]
+                          ELSE list_distinct((
+                            SELECT list(array_to_string(list_slice(t, i, i+2), ' '))
+                            FROM unnest(generate_series(1, len(t)-2)) AS u(i)
+                          ))
+                     END AS g
+              FROM toks
+            )
+            SELECT c.a, c.b,
+                   round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                         / len(list_distinct(x.g || y.g)), 4) AS jaccard
+            FROM cand c JOIN grams x ON x.doc_id = c.a JOIN grams y ON y.doc_id = c.b
+        """,
+        "simhash_groups": f"""
+            WITH {_TOKS},
+            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+            sig AS (
+              SELECT doc_id, concat(
+                {','.join(_simhash_bit_sql(p) for p in range(8))}
+              ) AS sig FROM d
+            )
+            SELECT sig, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM sig GROUP BY sig HAVING count(*) > 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+              FROM c, q WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.v, y.v), 6) AS cos
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.v, y.v), 6) > 0.4
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }
+
+
+def _simhash_bit_sql(p: int) -> str:
+    """One SimHash bit as SQL — must mirror tric_spark.operators.dedup.simhash."""
+    return f"""
+      CASE WHEN list_sum(list_transform(dt,
+             x -> CASE WHEN strpos('89abcdef', substr(md5(x), {p + 1}, 1)) > 0
+                       THEN 1 ELSE -1 END)) >= 0
+           THEN '1' ELSE '0' END
     """
-    return {}

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run, BENCH_r{N}.json).
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "teps": ..., "n_edges_directed": ...}
+
+The headline workload is the north-rule pipeline at a size derived from sf:
+synthesize the Common-Crawl-shaped pages/link graph deterministically
+(TESTDATA tables don't include a graph; FIXTURES §2 defines this one),
+then run extraction, graph build, TC (both physical paths), PageRank, CC,
+LP — plus the training-pipeline ops over the driver's documents/embeddings
+tables at the same sf.
+
+--scaling: run the identical TC+PageRank job at local[8] and local[32] on
+the same input and report throughput at both + scaling efficiency —
+the sandbox stand-in for the north rule's N→4N-executor criterion
+(BASELINE.json:2,14). Appends the evidence to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _n_pages(sf: float) -> int:
+    return max(2000, int(500_000 * sf))
+
+
+def build_graph(spark, n_pages: int):
+    """Materialized graph tables (canonical/sym/deg/oriented), cached."""
+    from tric_spark import graph, synth
+
+    edges = synth.link_edges(spark, n_pages, seed=42)
+    canon = graph.canonical_edges(edges).cache()
+    m = canon.count()
+    sym = graph.symmetrize(canon).cache()
+    sym.count()
+    deg = graph.degrees(sym).cache()
+    deg.count()
+    oriented = graph.orient_by_degree(canon, deg).cache()
+    oriented.count()
+    return canon, sym, deg, oriented, m
+
+
+def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from tric_spark import graph, synth
+    from tric_spark.extract import outlink_edges
+    from tric_spark.operators import dedup, similarity, tc
+    from tric_spark.operators.cc import connected_components
+    from tric_spark.operators.lp import label_propagation
+    from tric_spark.operators.pagerank import pagerank
+    from tric_spark.sources.doc_graph import doc_edges
+    from tric_spark.sources.tables import load_table
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # extraction pipeline: html → outlinks → edge rows (pandas UDF path)
+    n_extract = min(n_pages, 20_000)  # extraction sample: UDF throughput probe
+    pages = synth.pages_table(spark, n_extract, seed=42)
+    timed("extract_outlinks", lambda: outlink_edges(pages).count())
+
+    t0 = time.time()
+    canon, sym, deg, oriented, m = build_graph(spark, n_pages)
+    times["graph_build"] = round(time.time() - t0, 3)
+
+    verts = graph.vertices(sym).cache()
+    nv = verts.count()
+
+    tc_adj = timed("tc_adj", lambda: tc.triangle_count_adj(oriented))
+    tc_join = timed("tc_join", lambda: tc.triangle_count_join(oriented, deg=deg))
+    assert tc_adj == tc_join, (tc_adj, tc_join)
+    timed("pagerank5", lambda: pagerank(sym, verts, tol=0.0, max_iter=5).count())
+    timed("cc_fixpoint", lambda: connected_components(sym, verts).count())
+    timed("lp2", lambda: label_propagation(sym, verts, num_iter=2).count())
+
+    # training-pipeline ops over the driver's tables at this sf
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed(
+        "doc_graph_tc",
+        lambda: tc.triangle_count_join(doc_edges(spark, sf_dir)),
+    )
+    timed(
+        "dedup_minhash_lsh",
+        lambda: dedup.lsh_candidate_pairs(docs, k=8, rows_per_band=4).count(),
+    )
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    timed(
+        "ann_topk",
+        lambda: similarity.ann_bruteforce_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=10
+        ).count(),
+    )
+
+    ne_directed = 2 * m
+    total = round(sum(times.values()), 3)
+    tc_time = times["tc_adj"]
+    return {
+        "metric": "link_graph_bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+        "n_pages": n_pages,
+        "n_vertices": nv,
+        "n_edges_directed": ne_directed,
+        "triangles": tc_adj,
+        "teps_tc_adj": round(ne_directed / tc_time) if tc_time else None,
+    }
+
+
+def scaling_job(cores: int, n_pages: int) -> dict:
+    """The fixed job run at both parallelism levels: TC (CSR/Arrow path) +
+    3 PageRank supersteps on the identical deterministic input."""
+    from tric_spark import graph
+    from tric_spark.operators import tc
+    from tric_spark.operators.pagerank import pagerank
+    from tric_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+    try:
+        canon, sym, deg, oriented, m = build_graph(spark, n_pages)
+        verts = graph.vertices(sym).cache()
+        verts.count()
+        t0 = time.time()
+        tri = tc.triangle_count_adj(oriented)
+        pagerank(sym, verts, tol=0.0, max_iter=3).count()
+        elapsed = time.time() - t0
+        return {
+            "cores": cores,
+            "elapsed_sec": round(elapsed, 3),
+            "teps": round(2 * m / elapsed),
+            "triangles": tri,
+            "n_edges_directed": 2 * m,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        n_pages = _n_pages(_sf_of(SF_DIR))
+        low = scaling_job(8, n_pages)
+        high = scaling_job(32, n_pages)
+        assert low["triangles"] == high["triangles"]
+        eff = (low["elapsed_sec"] / high["elapsed_sec"]) / (32 / 8)
+        result = {
+            "metric": "scaling_efficiency_8_to_32_cores",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "low": low,
+            "high": high,
+            "sf": _sf_of(SF_DIR),
+        }
+        print(json.dumps(result))
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(
+                f"\n## Scaling evidence ({time.strftime('%Y-%m-%d %H:%M')}, "
+                f"sf={_sf_of(SF_DIR)}, n_pages={n_pages})\n\n"
+                f"| cores | elapsed (s) | TEPS (directed edges/s) |\n|---|---|---|\n"
+                f"| 8 | {low['elapsed_sec']} | {low['teps']} |\n"
+                f"| 32 | {high['elapsed_sec']} | {high['teps']} |\n\n"
+                f"Scaling efficiency 8→32 cores (4×): **{eff:.3f}** "
+                f"(north-rule target ≥ 0.8 for N→4N)\n"
+            )
+        return
+
+    from tric_spark.session import get_spark
+
+    spark = get_spark(app_name="tric-spark-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS * 2, 32))
+    try:
+        result = run_bench(spark, SF_DIR, _n_pages(_sf_of(SF_DIR)))
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

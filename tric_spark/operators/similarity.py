@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — a broadcast join of the
+  (small) query set against all candidates, dot products computed JVM-side
+  with zip_with/aggregate (no Python, no UDF).
+- LSH-bucketed variant: random-hyperplane signs (derived deterministically
+  from md5 bits per dimension — seedable, engine-portable) bucket the
+  vectors; candidates come from same-bucket pairs only. The scale path:
+  at 10^9+ vectors the cross product never materializes; each bucket is a
+  groupBy cell.
+- near-duplicate pairs by cosine threshold (exact within candidates).
+
+All math in double precision after an explicit cast — float32 summation
+order differences would break oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — exact top-k cosine neighbors of each
+    query vector among ``embeddings`` (queries excluded from candidates by
+    id). Query set is broadcast — at 100 TB the candidates stream once.
+
+    Ranking uses the 6dp-rounded cosine with vec_id tie-break, so results
+    are deterministic and replayable by the SQL oracle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: Column, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-of-projection LSH signature: plane p's weight for dimension d is
+    +1/−1 from bit p of md5(seed:d) — deterministic, no RNG state, identical
+    at any parallelism (same property as the reference's LCG scheme)."""
+    v = vec_col
+
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: F.when(
+                    F.instr(
+                        F.lit("89abcdef"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{seed}:"), d.cast("string")).cast("binary")),
+                            p + 1,
+                            1,
+                        ),
+                    )
+                    > 0,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[plane_bit(p) for p in range(n_planes)])
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket, then exact cosine within the bucket. Recall < 1 by design —
+    the scale path when brute force is too wide."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", hyperplane_signature(F.col("cv"), n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes))
+    scored = (
+        emb.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine > threshold. ``use_lsh`` restricts the
+    pair generation to LSH buckets (approximate at scale); otherwise exact
+    over all pairs (test-scale baseline, still never collected to the
+    driver)."""
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if use_lsh:
+        e = e.withColumn("bucket", hyperplane_signature(F.col("v"), n_planes))
+        a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+        b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    else:
+        a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") > threshold)
+    )

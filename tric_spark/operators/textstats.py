@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All computed with JVM-side built-in functions (whole-stage codegen — no
+Python in the hot path), and every definition is deliberately expressible
+in ANSI SQL so the driver's DuckDB oracle can replay it exactly
+(__spark_entry__.oracle_sql).
+
+Tokenization is a single literal-space split — chosen because its
+semantics are bit-identical between Spark's split and DuckDB/standard
+string_split, which makes the whole family oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "of", "to", "a")
+
+# deterministic marker tokens per language for the n-gram/keyword heuristic
+LANG_MARKERS = {"en": "the", "de": "der", "es": "el", "fr": "le"}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ", -1)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace token count."""
+    return docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+
+
+def _count_token(tok: str) -> Column:
+    return F.size(F.filter(tokens_col(), lambda t: t == F.lit(tok)))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_stop, n_punct, score) — length/stopword/punct
+    heuristic quality score in [0,1], rounded 4dp."""
+    n_tokens = F.size(tokens_col())
+    n_stop = sum((_count_token(s) for s in STOPWORDS), F.lit(0))
+    n_punct = F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (F.lit(0.5) + F.lit(0.5) * n_stop / F.greatest(n_tokens, F.lit(1))),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+        score.alias("score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — marker-token language heuristic; ties broken
+    by language code ascending (deterministic)."""
+    scored = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lang).alias("lang"), _count_token(tok).alias("hits"))
+                    for lang, tok in sorted(LANG_MARKERS.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.lang", "s.hits")
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+
+
+def fingerprints(docs: DataFrame, shingle: int = 5) -> DataFrame:
+    """(doc_id, fingerprint) — winnowing-style document fingerprint: the
+    minimum md5 over all ``shingle``-token windows (md5 of the whole text
+    for docs shorter than one window). Rolling-hash analog with a portable
+    hash so the oracle can replay it."""
+    toks = tokens_col()
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1))),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i, shingle), " ").cast("binary")
+        ),
+    )
+    fp = F.when(n < shingle, F.md5(F.col("text").cast("binary"))).otherwise(
+        F.array_min(windows)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

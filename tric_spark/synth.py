@@ -27,6 +27,15 @@ VOCAB = (
 ).split()
 
 
+def _degree_col(h2: Column, n: int) -> Column:
+    """Truncated Zipf out-degree: u ∈ (0,1], deg = min(cap, 1 + floor(2/u))
+    → P(deg > D) ≈ 2/D (power-law tail, exponent 2), mean ≈ 2·ln(1000) ≈ 15,
+    hubs up to min(n/10, 2001) — web-graph-shaped skew at every scale."""
+    u = (F.pmod(h2, F.lit(1000)) + 1) / F.lit(1000.0)
+    cap = max(2, n // 10)
+    return F.least(F.lit(cap), (F.lit(1) + F.floor(F.lit(2.0) / u))).cast("int")
+
+
 def _url_of(vid: Column, seed: int) -> Column:
     h = F.xxhash64(F.lit(seed), vid)
     return F.concat(
@@ -58,11 +67,7 @@ def pages_table(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     df = spark.range(n).withColumnRenamed("id", "vid")
     h1 = F.xxhash64(F.lit(seed), F.col("vid"))
     h2 = F.xxhash64(F.lit(seed + 1), F.col("vid"))
-    # truncated power law: u ∈ (0,1], deg = min(cap, 1 + floor(2/u²))
-    # → P(deg > D) ~ sqrt(2/D), heavy tail capped at n/10
-    u = (F.pmod(h2, F.lit(1000)) + 1) / F.lit(1000.0)
-    cap = max(2, n // 10)
-    deg = F.least(F.lit(cap), (F.lit(1) + F.floor(F.lit(2.0) / (u * u)))).cast("int")
+    deg = _degree_col(h2, n)
 
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     nv = len(VOCAB)
@@ -107,9 +112,7 @@ def link_edges(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     df = spark.range(n).withColumnRenamed("id", "vid")
     h1 = F.xxhash64(F.lit(seed), F.col("vid"))
     h2 = F.xxhash64(F.lit(seed + 1), F.col("vid"))
-    u = (F.pmod(h2, F.lit(1000)) + 1) / F.lit(1000.0)
-    cap = max(2, n // 10)
-    deg = F.least(F.lit(cap), (F.lit(1) + F.floor(F.lit(2.0) / (u * u)))).cast("int")
+    deg = _degree_col(h2, n)
     targets = _out_targets(F.col("vid"), h1, deg, n)
     return df.select(
         F.col("vid").alias("src"), F.explode(targets).alias("dst")
