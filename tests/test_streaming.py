@@ -1,0 +1,43 @@
+import os
+
+from tric_spark.sources.tables import load_table
+from tric_spark.streaming.windows import (
+    run_available_now,
+    stream_events_from_dir,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """Unified batch/stream contract: the same windowed aggregation over the
+    same rows must agree between the streaming plan (availableNow drain with
+    watermark) and the static plan."""
+    events = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "events_src")
+    events.write.parquet(src_dir)
+
+    stream = stream_events_from_dir(spark, src_dir, events.schema)
+    agg = windowed_event_counts(stream, window="1 hour", late_threshold="30 minutes")
+    q = run_available_now(agg, "ev_counts", str(tmp_path / "ck"))
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("select * from ev_counts").collect()
+    }
+    q.stop()
+
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in windowed_event_counts(events, window="1 hour").collect()
+    }
+    assert got == want
+    assert len(want) > 10
+
+
+def test_sliding_window(spark):
+    events = load_table(spark, SF, "events")
+    slid = windowed_event_counts(events, window="2 hours", slide="1 hour")
+    tumb = windowed_event_counts(events, window="1 hour")
+    # every event lands in exactly 2 sliding windows vs 1 tumbling window
+    assert slid.groupBy().sum("n").collect()[0][0] == 2 * tumb.groupBy().sum("n").collect()[0][0]

@@ -1,0 +1,70 @@
+"""Structured Streaming operators over event streams.
+
+The reference is batch-only (its only iteration state is comm-buffer resume
+cursors, SURVEY §2.4); streaming here extends the engine surface for the
+event tables the driver ships. Semantics:
+
+- tumbling/sliding window aggregation with an event-time watermark for late
+  data (`late_threshold`);
+- the same logical aggregation works identically on a static DataFrame (the
+  unified batch/stream contract of Structured Streaming) — the tests run the
+  stream with ``availableNow`` and compare against the batch plan on the
+  same input.
+
+At scale: the aggregation state is partitioned by (window, group key); the
+watermark bounds state size — without it the store grows unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    late_threshold: str = "30 minutes",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """(window_start, window_end, event_type, n, sum_value) tumbling (or
+    sliding) window aggregation. Watermark applied only on streaming input."""
+    is_streaming = events.isStreaming if streaming is None else streaming
+    # event-time watermarks require TIMESTAMP (LTZ); driver parquet carries
+    # TIMESTAMP_NTZ — session TZ is pinned UTC so the cast is value-stable
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events.withWatermark("ts", late_threshold) if is_streaming else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_dir(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a directory of event parquet files —
+    the sandbox stand-in for a Kafka/queue source."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+    """Drain everything currently available into an in-memory sink and stop —
+    deterministic batch-equivalent execution of the streaming plan."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
