@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions — the SURVEY §4 invariants: column
+pruning reaches the scan, filters push down, the zone-map prune uses a
+broadcast join, and Python never appears in plans that don't need it."""
+
+from pyspark.sql import functions as F
+
+from tric_spark import graph
+from tric_spark.operators import tc
+from tric_spark.sources.doc_graph import doc_edges
+from tric_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_doc_graph_scan_prunes_columns(spark):
+    """doc_edges must read only (doc_id, n_chars) — not text (the wide
+    column). A scan reading text for a 2-column derivation is wrong."""
+    plan = _plan(doc_edges(spark, SF))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "doc_id" in scan[0] and "n_chars" in scan[0]
+    assert "text" not in scan[0], scan[0]
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en").select("doc_id")
+    plan = _plan(docs)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0], plan
+
+
+def test_erange_prune_is_broadcast(spark):
+    """The zone-map prune (reference erange heuristic) must be a broadcast
+    join, not a shuffle."""
+    canon = doc_edges(spark, SF)
+    plan = _plan(tc.triangles_join(canon, prune=True))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_join_tc_plan_has_no_python(spark):
+    """The join TC path is pure Catalyst — no Python evaluation nodes."""
+    canon = doc_edges(spark, SF)
+    plan = _plan(tc.triangles_join(canon))
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_whole_stage_codegen_in_kernels(spark):
+    """The degree/normalize plans must sit inside WholeStageCodegen spans.
+    AQE hides codegen markers pre-execution, so probe with AQE off."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        canon = doc_edges(spark, SF)
+        df = graph.degrees(graph.symmetrize(canon))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, plan  # WholeStageCodegen stage markers
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
