@@ -105,6 +105,13 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_cc_star(spark, sf_dir):
+    from tric_spark.operators.cc import cc_star
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return cc_star(sym, verts)
+
+
 def q_pagerank_iter2(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     r = pagerank(sym, verts, d=0.85, tol=0.0, max_iter=2)
@@ -134,6 +141,10 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 def q_token_counts(spark, sf_dir):
     return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts_bpe(spark, sf_dir):
+    return textstats.token_counts_bpe(load_table(spark, sf_dir, "documents"))
 
 
 def q_quality_scores(spark, sf_dir):
@@ -205,11 +216,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "cc_hashmin_step1": q_cc_hashmin_step1,
         "cc_converged": q_cc_converged,
+        "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "lp_iter2": q_lp_iter2,
         "top_hubs": q_top_hubs,
         "dedup_exact_groups": q_dedup_exact_groups,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -279,6 +292,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.dst, r.x FROM sym s JOIN r ON r.vid = s.src
             )
             SELECT vid, min(x) AS comp FROM r GROUP BY vid
+        """,
+        "cc_star": f"""
+            WITH RECURSIVE {E},
+            r(vid, x) AS (
+              SELECT vid, vid FROM deg
+              UNION
+              SELECT s.dst, r.x FROM sym s JOIN r ON r.vid = s.src
+            )
+            SELECT vid, min(x) AS comp FROM r GROUP BY vid
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "pagerank_iter2": f"""
             WITH {E},

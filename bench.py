@@ -157,7 +157,7 @@ def scaling_job(cores: int, n_pages: int) -> dict:
 
         def job():
             tri = tc.triangle_count_adj(oriented)
-            pagerank(sym, verts, tol=0.0, max_iter=3).count()
+            pagerank(sym, verts, tol=0.0, max_iter=5).count()
             return tri
 
         tri = job()  # warm-up: spin up python workers, JIT, fill caches
@@ -189,7 +189,10 @@ def main() -> None:
     if "--scaling" in sys.argv:
         import subprocess
 
-        n_pages = max(_n_pages(_sf_of(SF_DIR)), 100_000)
+        # compute must dominate fixed latency for a meaningful scaling
+        # measurement — a 100 TB job is throughput-bound, so the evidence
+        # job must be too
+        n_pages = max(_n_pages(_sf_of(SF_DIR)), 400_000)
 
         def run_isolated(cores: int) -> dict:
             out = subprocess.run(

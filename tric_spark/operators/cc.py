@@ -7,8 +7,9 @@ changes. Component id = min vertex id in the component (exact-match oracle).
 Scale notes: each superstep is one shuffle (edges ⋈ comps on src, groupBy
 dst min). Hash-min converges in O(diameter) supersteps — fine for web graphs
 (small diameter); for adversarially long paths the two-phase large-star/
-small-star variant (Kiveris et al., "Connected Components in MapReduce")
-drops it to O(log n); ``cc_star`` implements it for that regime.
+small-star variant (Kiveris et al., "Connected Components in MapReduce and
+Beyond") drops it to O(log n) rounds; :func:`cc_star` implements it for that
+regime. Both return identical (vid, comp) with comp = min vertex id.
 """
 
 from __future__ import annotations
@@ -70,3 +71,77 @@ def connected_components(
             return nxt
         cur = nxt
     return cur
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+
+def _canonical(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """large-star: every node u links its strictly-larger neighbors to
+    m = min(Γ(u) ∪ {u}). One groupBy-min + one join per round."""
+    sym = canon.select("src", "dst").union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = F.least(F.col("src"), F.col("mn"))
+    return _canonical(
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """small-star: every node links its smaller-or-equal neighborhood
+    (and itself) to its minimum. Input/output canonical (src < dst)."""
+    mins = canon.groupBy("dst").agg(F.min("src").alias("m"))
+    via_nbrs = canon.join(mins, "dst").select(
+        F.col("src").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = mins.select(F.col("dst").alias("u"), F.col("m").alias("v"))
+    return _canonical(via_nbrs.union(self_edge))
+
+
+def _edge_checksum(canon: DataFrame) -> tuple[int, int]:
+    # pmod bounds each term so the sum can't overflow long under ANSI mode
+    row = canon.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))).alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def cc_star(
+    sym_edges: DataFrame, vertices: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """(vid, comp) via alternating large-star/small-star — O(log n) rounds
+    regardless of graph diameter (hash-min needs O(diameter)). At
+    convergence every component is a star centered at its minimum id.
+    """
+    canon = _canonical(
+        sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint(eager=True)
+    sig = _edge_checksum(canon)
+    for _ in range(max_rounds):
+        canon = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+        new_sig = _edge_checksum(canon)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    members = canon.select(F.col("dst").alias("vid"), F.col("src").alias("comp"))
+    roots = canon.select(F.col("src").alias("vid"), F.col("src").alias("comp")).distinct()
+    known = members.union(roots)
+    isolated = vertices.join(known, "vid", "left_anti").select(
+        "vid", F.col("vid").alias("comp")
+    )
+    return known.union(isolated)

@@ -45,9 +45,14 @@ def pagerank(
     n_b = vertices.count()
     n = float(n_b)
     edges = directed.select("src", "dst")
-    out_deg = _out_degrees(edges)
+    out_deg = _out_degrees(edges).cache()
     # static per-superstep probe side: (src, dst, out_deg) — computed once
     ed = edges.join(out_deg.withColumnRenamed("vid", "src"), "src")
+
+    # dangling vertices detected ONCE — symmetric link graphs have none, and
+    # skipping the per-superstep anti-join+collect removes a driver barrier
+    # from every superstep (pure latency at any cluster size)
+    has_dangling = out_deg.count() < n_b
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     state_schema = "vid long, rank double"
@@ -59,7 +64,7 @@ def pagerank(
         dangling = (
             rk.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contribs = (
             rk.join(ed.withColumnRenamed("src", "vid"), "vid")
             .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("out_deg")).alias("c"))
@@ -101,8 +106,13 @@ def pagerank(
     cur = ranks.localCheckpoint(eager=True)
     for _ in range(max_iter):
         nxt = step(cur).localCheckpoint(eager=True)
-        dl = delta(cur, nxt)
-        cur = nxt
-        if dl < tol:
-            break
+        # fixed-iteration mode (tol<=0) skips the convergence join+collect —
+        # one driver barrier less per superstep
+        if tol > 0:
+            dl = delta(cur, nxt)
+            cur = nxt
+            if dl < tol:
+                break
+        else:
+            cur = nxt
     return cur

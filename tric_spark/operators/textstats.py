@@ -32,6 +32,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
 
 
+# BPE-style pre-tokenization: letter runs | digit runs | single symbols —
+# the GPT-2-family pre-tokenizer shape, simplified to a portable regex
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish regex token count (letter runs,
+    digit runs, individual symbols; whitespace dropped)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def _count_token(tok: str) -> Column:
     return F.size(F.filter(tokens_col(), lambda t: t == F.lit(tok)))
 
