@@ -1,0 +1,73 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from tric_spark.operators import similarity as sim
+from tric_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_topk(emb_rows, query_ids, k):
+    ids = np.array([r.vec_id for r in emb_rows])
+    mat = np.array([list(r.embedding) for r in emb_rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = int(np.where(ids == q)[0][0])
+        cos = np.round(mat_n @ mat_n[qi], 6)
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != q], key=lambda t: (-t[0], t[1])
+        )
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_topk_vs_numpy(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sim.ann_bruteforce_topk(emb, queries, k=5).collect()
+    rows = emb.collect()
+    want = _numpy_topk(rows, [0, 1, 2], 5)
+    for q in [0, 1, 2]:
+        got_q = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert got_q == want[q], q
+
+
+def test_ivf_recall_and_exactness(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.ann_bruteforce_topk(emb, queries, k=5)
+    approx = sim.ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # probing half the cells on clustered data
+    # approximate results carry the TRUE cosine (exact within probed cells)
+    exact_cos = {(r.query_id, r.vec_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert abs(r.cos - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.ann_lsh_topk(emb, queries, k=5, n_planes=6)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_neardup_lsh_subset_of_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.a, r.b) for r in sim.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.a, r.b)
+        for r in sim.embedding_neardup_pairs(
+            emb, threshold=0.4, use_lsh=True, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0

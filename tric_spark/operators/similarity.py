@@ -139,6 +139,85 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) — IVF coarse quantizer.
+
+    Centroids are chosen deterministically (the ``n_centroids`` vectors with
+    smallest xxhash64(id) — a seedless uniform sample, same at any
+    parallelism); every vector is assigned to its nearest centroid by cosine
+    via a broadcast join (centroids are tiny; the big table streams once).
+    One Lloyd refinement would be ``assignments.groupBy(cell).agg(avg per
+    dim)`` — omitted: for ANN bucketing the sampled quantizer suffices.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    w = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    cents = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_centroids)
+        .select(F.col("rn").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    return cents, assign
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
+    centroid cells and ranks exactly within them. The scale path: candidate
+    volume is n_probe/n_centroids of the corpus, and the quantizer is a
+    broadcast join — no full cross product."""
+    from pyspark.sql import Window
+
+    cents, assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q_cells = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    probes = (
+        q_cells.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
