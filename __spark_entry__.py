@@ -199,6 +199,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
 def q_pagerank_converged(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     r = pagerank(sym, verts, tol=1e-8, max_iter=60)
@@ -234,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "pagerank_converged": q_pagerank_converged,
     }
 
