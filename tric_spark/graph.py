@@ -129,6 +129,22 @@ def adjacency(oriented: DataFrame) -> DataFrame:
     return oriented.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
 
 
+def out_adjacency(directed: DataFrame) -> DataFrame:
+    """(vid, nbrs, out_deg) — adjacency-list form of the directed edge table.
+
+    The superstep kernels join per-vertex state against THIS (n rows,
+    cached, stable partitioning) and explode, instead of joining against the
+    m-row edge table: per superstep only the n-row state shuffles, and the
+    exploded contributions are map-side partially aggregated before the
+    second shuffle. This is the compressed neighbor-list wire format of the
+    reference (cfastric.hpp:169–178) doing the same job: ship one header per
+    vertex, not one message per edge.
+    """
+    return directed.groupBy(F.col("src").alias("vid")).agg(
+        F.collect_list("dst").alias("nbrs"), F.count("*").alias("out_deg")
+    )
+
+
 def vertices(sym_edges: DataFrame) -> DataFrame:
     """Distinct vertex ids present in the edge table."""
     return sym_edges.select(F.col("src").alias("vid")).distinct()

@@ -27,13 +27,18 @@ def connected_components(
     driver: SuperstepDriver | None = None,
 ) -> DataFrame:
     """(vid, comp) at fixpoint. ``sym_edges`` must hold both directions."""
+    from tric_spark.graph import out_adjacency
+
     comps = vertices.withColumn("comp", F.col("vid"))
-    edges = sym_edges.select("src", "dst")
+    # adjacency-list form cached once: supersteps shuffle the n-row comp
+    # state, not the m-row edge table; min partial-aggregates map-side
+    adj = out_adjacency(sym_edges.select("src", "dst")).cache()
 
     def step(comps: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(comps.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"))
+            adj.join(comps, "vid")
+            .select(F.explode("nbrs").alias("vid"), "comp")
+            .groupBy("vid")
             .agg(F.min("comp").alias("nbr_comp"))
         )
         return (

@@ -28,13 +28,17 @@ def label_propagation(
     driver: SuperstepDriver | None = None,
 ) -> DataFrame:
     """(vid, label) after ``num_iter`` synchronous supersteps."""
+    from tric_spark.graph import out_adjacency
+
     labels = vertices.withColumn("label", F.col("vid"))
-    edges = sym_edges.select("src", "dst")
+    # adjacency-list form cached once (see pagerank.py for the shuffle math)
+    adj = out_adjacency(sym_edges.select("src", "dst")).cache()
 
     def step(labels: DataFrame) -> DataFrame:
         freq = (
-            edges.join(labels.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"), F.col("label"))
+            adj.join(labels, "vid")
+            .select(F.explode("nbrs").alias("vid"), "label")
+            .groupBy("vid", "label")
             .agg(F.count("*").alias("n"))
         )
         w = Window.partitionBy("vid").orderBy(F.col("n").desc(), F.col("label").asc())

@@ -42,17 +42,21 @@ def pagerank(
 
     ``driver``: optional checkpointing superstep driver for resumable runs.
     """
+    from tric_spark.graph import out_adjacency
+
     n_b = vertices.count()
     n = float(n_b)
     edges = directed.select("src", "dst")
-    out_deg = _out_degrees(edges).cache()
-    # static per-superstep probe side: (src, dst, out_deg) — computed once
-    ed = edges.join(out_deg.withColumnRenamed("vid", "src"), "src")
+    # adjacency-list form, computed once and cached: per superstep only the
+    # n-row rank state shuffles (to the adjacency's partitioning), never the
+    # m-row edge table; exploded contributions partial-aggregate map-side
+    adj = out_adjacency(edges).cache()
+    out_deg = adj.select("vid", "out_deg")
 
     # dangling vertices detected ONCE — symmetric link graphs have none, and
     # skipping the per-superstep anti-join+collect removes a driver barrier
     # from every superstep (pure latency at any cluster size)
-    has_dangling = out_deg.count() < n_b
+    has_dangling = adj.count() < n_b
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     state_schema = "vid long, rank double"
@@ -66,8 +70,11 @@ def pagerank(
             or 0.0
         ) if has_dangling else 0.0
         contribs = (
-            rk.join(ed.withColumnRenamed("src", "vid"), "vid")
-            .select(F.col("dst").alias("vid"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            adj.join(rk, "vid")
+            .select(
+                F.explode("nbrs").alias("vid"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
             .groupBy("vid")
             .agg(F.sum("c").alias("in_mass"))
         )
