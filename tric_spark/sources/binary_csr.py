@@ -49,6 +49,28 @@ def read_binary_csr_local(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return src, edges["tail"].astype(np.int64), edges["w"].astype(np.float64)
 
 
+def write_binary_csr_local(
+    path: str, src: np.ndarray, dst: np.ndarray, weight: np.ndarray, nv: int | None = None
+) -> None:
+    """Write (src, dst, weight) arrays in the reference's binary CSR layout
+    (the sink counterpart of the loader; graph.hpp:331–344 describes the
+    format). Input must be the symmetric directed edge list; rows are sorted
+    (src, dst) to satisfy the sorted-adjacency invariant."""
+    order = np.lexsort((dst, src))
+    src, dst, weight = src[order], dst[order], weight[order]
+    nv = int(nv if nv is not None else (max(src.max(), dst.max()) + 1 if src.size else 0))
+    ne = int(src.size)
+    counts = np.bincount(src, minlength=nv)
+    offsets = np.zeros(nv + 1, dtype="<i8")
+    np.cumsum(counts, out=offsets[1:])
+    edges = np.empty(ne, dtype=np.dtype([("tail", "<i8"), ("w", "<f8")]))
+    edges["tail"], edges["w"] = dst, weight
+    with open(path, "wb") as f:
+        f.write(struct.pack("<qq", nv, ne))
+        offsets.tofile(f)
+        edges.tofile(f)
+
+
 def read_binary_csr(spark: SparkSession, path: str) -> DataFrame:
     """Load a reference binary CSR file as an ``edges`` DataFrame
     ``(src long, dst long, weight double)`` — symmetric directed form,
