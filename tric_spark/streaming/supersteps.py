@@ -65,17 +65,32 @@ class SuperstepDriver:
         return os.path.join(self.checkpoint_dir, f"step_{i:05d}")
 
     def _write_checkpoint(self, df: DataFrame, i: int, extra: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
         path = self._step_path(i)
         data_path = os.path.join(path, "data")
         df.write.mode("overwrite").parquet(data_path)
         reloaded = self.spark.read.parquet(data_path)
-        rows = reloaded.count()
+        # per-partition lineage + metrics [north-rule]: row count per parquet
+        # file of the committed state — the resume point's physical layout is
+        # part of the checkpoint's identity (print_dist_stats made durable)
+        per_part = {
+            os.path.basename(r["f"]): r["n"]
+            for r in reloaded.groupBy(
+                F.input_file_name().alias("f")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        rows = sum(per_part.values())
         parent = self._step_path(self.last_committed) if self.last_committed >= 0 else None
         meta = {
             "superstep": i,
             "rows": rows,
             "schema": reloaded.schema.simpleString(),
-            "lineage": {"parent": parent, "checkpoint_dir": self.checkpoint_dir},
+            "lineage": {
+                "parent": parent,
+                "checkpoint_dir": self.checkpoint_dir,
+                "partitions": per_part,
+            },
             "counters": dict(self.counters),
             **extra,
         }
