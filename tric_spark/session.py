@@ -58,6 +58,10 @@ def get_spark(
         # pre-filters (hbufastric.hpp:270–314) — pre-filter only, always
         # confirmed exactly by the join, so counts stay exact.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # dims up to 32 MB broadcast instead of shuffling — vertex-stats /
+        # adjacency tables of mid-size graphs ride this; size-gated so a
+        # 100 TB adjacency still shuffles (AQE converts at runtime)
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
