@@ -45,6 +45,8 @@ def pagerank(
     from tric_spark.graph import out_adjacency
 
     n_b = vertices.count()
+    if n_b == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
     n = float(n_b)
     edges = directed.select("src", "dst")
     # adjacency-list form, computed once and cached: per superstep only the
