@@ -1,0 +1,155 @@
+"""Top-level pipeline: pages table → link graph → all analytics → parquet.
+
+The one-call surface a user of the reference would switch to:
+
+    from tric_spark.pipeline import build_link_graph, run_analytics
+    g = build_link_graph(spark, pages)              # extraction + ids + views
+    out = run_analytics(spark, g, checkpoint_dir=...)  # tc/pr/cc/lp DataFrames
+
+``run_pipeline`` additionally writes every result (and a metrics JSON) under
+an output directory — the batch-job shape for spark-submit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tric_spark import graph
+from tric_spark.extract import outlink_edges
+from tric_spark.operators import tc
+from tric_spark.operators.cc import connected_components
+from tric_spark.operators.lp import label_propagation
+from tric_spark.operators.pagerank import pagerank
+from tric_spark.plans.partition import partition_stats
+from tric_spark.streaming.supersteps import SuperstepDriver
+
+
+@dataclass
+class LinkGraph:
+    """Materialized (cached) graph views + the url↔vid mapping."""
+
+    ids: DataFrame        # (url, vid)
+    directed: DataFrame   # (src, dst) as extracted (direction = link)
+    canon: DataFrame      # undirected canonical, src < dst
+    sym: DataFrame        # both directions
+    deg: DataFrame        # (vid, degree)
+    oriented: DataFrame   # degree-ordered orientation
+    verts: DataFrame      # (vid)
+    n_vertices: int
+    n_edges: int
+
+
+def build_link_graph(
+    spark: SparkSession, pages: DataFrame, cache: bool = True
+) -> LinkGraph:
+    """Extraction → vertex ids (xxhash64, collision-audited) → graph views.
+
+    Dangling link targets (urls never seen as pages) get ids too — the link
+    graph covers everything referenced, like a real crawl frontier.
+    """
+    url_edges = outlink_edges(pages)
+    all_urls = (
+        pages.select("url")
+        .union(url_edges.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    ids = graph.assign_vertex_ids(all_urls)
+    if graph.audit_id_collisions(ids) > 0:
+        raise RuntimeError(
+            "xxhash64 vertex-id collision detected — widen to 128-bit ids "
+            "(two independent hashes) or use assign_dense_ids"
+        )
+    directed = (
+        url_edges.join(ids.withColumnsRenamed({"url": "src_url", "vid": "src"}), "src_url")
+        .join(ids.withColumnsRenamed({"url": "dst_url", "vid": "dst"}), "dst_url")
+        .select("src", "dst")
+    )
+    canon = graph.canonical_edges(directed)
+    sym = graph.symmetrize(canon)
+    deg = graph.degrees(sym)
+    oriented = graph.orient_by_degree(canon, deg)
+    if cache:
+        for df in (canon, sym, deg, oriented):
+            df.cache()
+    n_edges = canon.count()
+    verts = graph.vertices(sym)
+    if cache:
+        verts.cache()
+    return LinkGraph(
+        ids=ids,
+        directed=directed,
+        canon=canon,
+        sym=sym,
+        deg=deg,
+        oriented=oriented,
+        verts=verts,
+        n_vertices=verts.count(),
+        n_edges=n_edges,
+    )
+
+
+def run_analytics(
+    spark: SparkSession,
+    g: LinkGraph,
+    checkpoint_dir: str | None = None,
+    pr_tol: float = 1e-6,
+    pr_max_iter: int = 100,
+    lp_iters: int = 5,
+) -> dict[str, DataFrame]:
+    """All four kernels over a built graph. With ``checkpoint_dir`` the
+    iterative kernels run under resumable committed checkpoints."""
+
+    def drv(name):
+        if checkpoint_dir is None:
+            return None
+        return SuperstepDriver(spark, os.path.join(checkpoint_dir, name))
+
+    return {
+        "triangles_per_vertex": tc.triangles_per_vertex_adj(g.oriented),
+        "pagerank": pagerank(
+            g.sym, g.verts, tol=pr_tol, max_iter=pr_max_iter, driver=drv("pagerank")
+        ),
+        "components": connected_components(g.sym, g.verts, driver=drv("cc")),
+        "labels": label_propagation(g.sym, g.verts, num_iter=lp_iters, driver=drv("lp")),
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    **analytics_kwargs,
+) -> dict:
+    """Batch-job entrypoint: build, analyze, write parquet + metrics JSON.
+    Returns the metrics dict."""
+    t0 = time.time()
+    g = build_link_graph(spark, pages)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    results = run_analytics(spark, g, checkpoint_dir=checkpoint_dir, **analytics_kwargs)
+    metrics: dict = {
+        "n_vertices": g.n_vertices,
+        "n_edges_undirected": g.n_edges,
+        "build_sec": round(t_build, 3),
+        "edge_balance": partition_stats(g.canon),
+        "outputs": {},
+    }
+    g.ids.write.mode("overwrite").parquet(os.path.join(out_dir, "vertex_ids"))
+    g.canon.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    for name, df in results.items():
+        path = os.path.join(out_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        metrics["outputs"][name] = spark.read.parquet(path).count()
+    metrics["analytics_sec"] = round(time.time() - t0, 3)
+    metrics["triangles_total"] = tc.triangle_count_adj(g.oriented)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
