@@ -94,6 +94,40 @@ def q_triangles_per_vertex(spark, sf_dir):
     return tc.triangles_per_vertex_adj(oriented)
 
 
+def q_local_clustering(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return tc.local_clustering(oriented, deg)
+
+
+def q_global_clustering(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    tri = tc.triangle_count_join(canon)
+    wedges = deg.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2).cast("long").alias("w")
+    ).collect()[0]["w"]
+    return spark.createDataFrame(
+        [(round(3.0 * tri / wedges, 6),)], "gcc double"
+    )
+
+
+def q_graph_summary(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+    )
+
+
+def q_core_numbers(spark, sf_dir):
+    from tric_spark.operators.kcore import core_numbers
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return core_numbers(sym)
+
+
 def q_cc_hashmin_step1(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     nbr_min = sym.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("m"))
@@ -219,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "local_clustering": q_local_clustering,
+        "global_clustering": q_global_clustering,
+        "graph_summary": q_graph_summary,
+        "core_numbers": q_core_numbers,
         "cc_hashmin_step1": q_cc_hashmin_step1,
         "cc_converged": q_cc_converged,
         "cc_star": q_cc_star,
@@ -284,6 +322,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT j FROM tri
               UNION ALL SELECT k FROM tri
             ) GROUP BY vid
+        """,
+        "local_clustering": f"""
+            WITH {E}, {_TRI},
+            pv AS (
+              SELECT vid, count(*) AS tc FROM (
+                SELECT i AS vid FROM tri
+                UNION ALL SELECT j FROM tri
+                UNION ALL SELECT k FROM tri
+              ) GROUP BY vid
+            )
+            SELECT d.vid, coalesce(pv.tc, 0) AS tc, d.degree,
+                   round(coalesce(pv.tc, 0) / (d.degree*(d.degree-1)/2.0), 6) AS lcc
+            FROM deg d LEFT JOIN pv ON pv.vid = d.vid
+            WHERE d.degree >= 2
+        """,
+        "global_clustering": f"""
+            WITH {E}, {_TRI},
+            t AS (SELECT count(*) AS tc FROM tri),
+            w AS (SELECT CAST(sum(degree*(degree-1))/2 AS BIGINT) AS w FROM deg)
+            SELECT round(3.0*(SELECT tc FROM t)/(SELECT w FROM w), 6) AS gcc
+        """,
+        "graph_summary": f"""
+            WITH {E}
+            SELECT count(*) AS n_vertices,
+                   CAST(sum(degree)/2 AS BIGINT) AS n_edges,
+                   max(degree) AS max_degree,
+                   round(avg(degree), 6) AS avg_degree
+            FROM deg
         """,
         "cc_hashmin_step1": f"""
             WITH {E}

@@ -214,6 +214,26 @@ def triangles_per_vertex_adj(oriented: DataFrame) -> DataFrame:
     return partials.groupBy("vid").agg(F.sum("partial").alias("tc"))
 
 
+def local_clustering(oriented: DataFrame, deg: DataFrame) -> DataFrame:
+    """(vid, tc, degree, lcc) — local clustering coefficient
+    lcc = tc / C(degree, 2) for degree ≥ 2 vertices, rounded 6dp."""
+    pv = triangles_per_vertex_adj(oriented)
+    return (
+        deg.join(pv, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            "degree",
+            F.round(
+                F.coalesce(F.col("tc"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1) / 2.0),
+                6,
+            ).alias("lcc"),
+        )
+        .filter(F.col("degree") >= 2)
+    )
+
+
 def triangle_count_adj(oriented: DataFrame) -> int:
     """Global exact triangle count via the CSR/Arrow kernel.
 
