@@ -134,6 +134,14 @@ def q_cc_hashmin_step1(spark, sf_dir):
     return nbr_min.select("vid", F.least("vid", "m").alias("comp"))
 
 
+def q_bfs_from_0(spark, sf_dir):
+    from tric_spark.operators.bfs import bfs_distances
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    src = spark.createDataFrame([(0,)], "vid long")
+    return bfs_distances(sym, src)
+
+
 def q_cc_converged(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     return connected_components(sym, verts)
@@ -258,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "core_numbers": q_core_numbers,
         "cc_hashmin_step1": q_cc_hashmin_step1,
+        "bfs_from_0": q_bfs_from_0,
         "cc_converged": q_cc_converged,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
@@ -355,6 +364,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {E}
             SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp
             FROM sym s GROUP BY s.dst
+        """,
+        "bfs_from_0": f"""
+            WITH RECURSIVE {E},
+            r(vid, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.dst, r.d + 1
+              FROM sym s JOIN r ON r.vid = s.src
+              WHERE r.d < 64
+            )
+            SELECT vid, min(d) AS dist FROM r GROUP BY vid
         """,
         "cc_converged": f"""
             WITH RECURSIVE {E},
