@@ -102,3 +102,33 @@ def lp_oracle(pairs, vertices, num_iter: int) -> dict[int, int]:
             nxt[v] = best[0]
         labels = nxt
     return labels
+
+
+def ppr_oracle(
+    pairs_directed, n: int, sources, d: float = 0.85, tol: float = 1e-6,
+    max_iter: int = 100,
+) -> np.ndarray:
+    """Personalized PageRank oracle: teleport (and dangling mass) to the
+    uniform seed distribution."""
+    out = defaultdict(list)
+    for u, v in pairs_directed:
+        out[u].append(v)
+    e = np.zeros(n)
+    for s in sources:
+        e[s] = 1.0 / len(sources)
+    r = e.copy()
+    for _ in range(max_iter):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            if out.get(u):
+                share = r[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += share
+            else:
+                dangling += r[u]
+        nxt = (1.0 - d) * e + d * (nxt + dangling * e)
+        if np.max(np.abs(nxt - r)) < tol:
+            return nxt
+        r = nxt
+    return r

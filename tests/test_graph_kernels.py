@@ -65,3 +65,24 @@ def test_lp_bipartite_and_random(spark):
         canon, sym, verts = _graph_tables(spark, pairs)
         got = {r.vid: r.label for r in label_propagation(sym, verts, num_iter=n_iter).collect()}
         assert got == lp_oracle(pairs, vertices, n_iter)
+
+
+def test_personalized_pagerank_vs_oracle(spark):
+    import numpy as np
+    from oracles import ppr_oracle
+    from tric_spark.operators.pagerank import personalized_pagerank
+
+    pairs = er_graph(n=50, p_inv=8)
+    directed = pairs + [(v, u) for u, v in pairs if (u + v) % 2]  # some dangling
+    n = 50
+    seeds = [0, 3, 7]
+    oracle = ppr_oracle(directed, n, seeds)
+    edges = edges_df(spark, directed)
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    src = spark.createDataFrame([(s,) for s in seeds], "vid long")
+    got = np.zeros(n)
+    for r in personalized_pagerank(edges, verts, src).collect():
+        got[r.vid] = r.rank
+    assert np.allclose(got, oracle, atol=1e-6)
+    # seeds hold well above the uniform share (3/50 = 0.06)
+    assert got[seeds].sum() > 0.1

@@ -125,3 +125,73 @@ def pagerank(
         else:
             cur = nxt
     return cur
+
+
+def personalized_pagerank(
+    directed: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(vid, rank) — PageRank with teleportation restricted to ``sources``
+    (uniform over the seed set). Dangling mass also teleports to the seeds.
+    The standard seed-relevance ranking for link graphs."""
+    from tric_spark.graph import out_adjacency
+
+    n_src = sources.count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    edges = directed.select("src", "dst")
+    adj = out_adjacency(edges).cache()
+    out_deg = adj.select("vid", "out_deg")
+    has_dangling = adj.count() < vertices.count()
+
+    # teleport column: 1/|S| on seeds, 0 elsewhere — joined once, reused
+    vert_e = vertices.join(
+        sources.select("vid").distinct().withColumn("e", F.lit(1.0 / n_src)), "vid", "left"
+    ).select("vid", F.coalesce("e", F.lit(0.0)).alias("e")).cache()
+    vert_e.count()
+
+    ranks = vert_e.select("vid", F.col("e").alias("rank"))
+
+    def step(rk: DataFrame) -> DataFrame:
+        dangling = (
+            rk.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        ) if has_dangling else 0.0
+        contribs = (
+            adj.join(rk, "vid")
+            .select(F.explode("nbrs").alias("vid"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        return (
+            vert_e.join(contribs, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.lit(1.0 - d) * F.col("e")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling) * F.col("e"))
+                ).alias("rank"),
+            )
+        )
+
+    cur = ranks.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = step(cur).localCheckpoint(eager=True)
+        if tol > 0:
+            dl = (
+                cur.withColumnRenamed("rank", "old_rank")
+                .join(nxt, "vid")
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
+                .collect()[0][0]
+            )
+            cur = nxt
+            if dl < tol:
+                break
+        else:
+            cur = nxt
+    return cur
