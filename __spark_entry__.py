@@ -160,6 +160,22 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_iter2(spark, sf_dir):
+    from tric_spark.operators.pagerank import personalized_pagerank
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "vid long")
+    r = personalized_pagerank(sym, verts, seeds, tol=0.0, max_iter=2)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_event_sessions(spark, sf_dir):
+    from tric_spark.streaming.stateful import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 def q_lp_iter2(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     return label_propagation(sym, verts, num_iter=2)
@@ -270,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged": q_cc_converged,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
+        "ppr_iter2": q_ppr_iter2,
+        "event_sessions": q_event_sessions,
         "lp_iter2": q_lp_iter2,
         "top_hubs": q_top_hubs,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -416,6 +434,44 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        "ppr_iter2": f"""
+            WITH {E},
+            e AS (SELECT vid,
+                         CASE WHEN vid IN (0,1,2) THEN 1.0/3 ELSE 0.0 END AS e,
+                         degree
+                  FROM deg),
+            r1 AS (
+              SELECT x.vid, 0.15*x.e + 0.85*coalesce(m.s, 0) AS rank, x.degree, x.e
+              FROM e x LEFT JOIN (
+                SELECT s.dst AS vid, sum(r.e/r.degree) AS s
+                FROM sym s JOIN e r ON s.src = r.vid GROUP BY s.dst
+              ) m ON m.vid = x.vid
+            )
+            SELECT x.e_vid AS vid, round(0.15*x.e + 0.85*coalesce(m.s, 0), 6) AS rank
+            FROM (SELECT vid AS e_vid, e FROM e) x LEFT JOIN (
+              SELECT s.dst AS vid, sum(r.rank/r.degree) AS s
+              FROM sym s JOIN r1 r ON s.src = r.vid GROUP BY s.dst
+            ) m ON m.vid = x.e_vid
+        """,
+        "event_sessions": """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(CASE WHEN prev_ts IS NULL
+                              OR epoch(ts) - epoch(prev_ts) >= 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "lp_iter2": f"""
             WITH {E},
