@@ -145,6 +145,32 @@ def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
     return docs.select("doc_id", F.concat(*[bit(p) for p in range(bits)]).alias("sig"))
 
 
+def simhash_candidates(
+    docs: DataFrame, bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """(a, b) candidate pairs with small SimHash Hamming distance: the
+    signature is split into ``bands`` contiguous bit-bands; any pair agreeing
+    on at least one whole band is a candidate (catches Hamming distance
+    < bands by pigeonhole). Same group-by-band scale shape as MinHash-LSH —
+    never a cross join."""
+    sig = simhash(docs, bits)
+    width = bits // bands
+    pair_sets = []
+    for b in range(bands):
+        banded = sig.select(
+            "doc_id", F.substring("sig", b * width + 1, width).alias("band")
+        )
+        left = banded.select(F.col("doc_id").alias("a"), "band")
+        right = banded.select(F.col("doc_id").alias("b"), "band")
+        pair_sets.append(
+            left.join(right, "band").filter(F.col("a") < F.col("b")).select("a", "b")
+        )
+    out = pair_sets[0]
+    for p in pair_sets[1:]:
+        out = out.union(p)
+    return out.dropDuplicates(["a", "b"])
+
+
 def simhash_duplicate_groups(docs: DataFrame, bits: int = 8) -> DataFrame:
     """(sig, n_docs, min_doc_id) — SimHash-identical groups with >1 doc."""
     return (
