@@ -132,3 +132,28 @@ def ppr_oracle(
             return nxt
         r = nxt
     return r
+
+
+def weighted_pagerank_oracle(
+    triples, n: int, d: float = 0.85, tol: float = 1e-6, max_iter: int = 100
+) -> np.ndarray:
+    """(src, dst, w) directed weighted edges; rank ∝ weight share."""
+    out = defaultdict(list)
+    for u, v, w in triples:
+        out[u].append((v, w))
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            if out.get(u):
+                tot = sum(w for _, w in out[u])
+                for v, w in out[u]:
+                    nxt[v] += r[u] * w / tot
+            else:
+                dangling += r[u]
+        nxt = (1.0 - d) / n + d * (nxt + dangling / n)
+        if np.max(np.abs(nxt - r)) < tol:
+            return nxt
+        r = nxt
+    return r

@@ -86,3 +86,34 @@ def test_personalized_pagerank_vs_oracle(spark):
     assert np.allclose(got, oracle, atol=1e-6)
     # seeds hold well above the uniform share (3/50 = 0.06)
     assert got[seeds].sum() > 0.1
+
+
+def test_weighted_pagerank_vs_oracle(spark):
+    import numpy as np
+    import random
+    from oracles import weighted_pagerank_oracle
+    from tric_spark.operators.pagerank import weighted_pagerank
+
+    rng = random.Random(5)
+    pairs = er_graph(n=40, p_inv=6)
+    triples = [(u, v, 1.0 + rng.randint(0, 9)) for u, v in pairs] + [
+        (v, u, 1.0 + rng.randint(0, 9)) for u, v in pairs if (u + v) % 3
+    ]
+    n = 40
+    oracle = weighted_pagerank_oracle(triples, n)
+    df = spark.createDataFrame(triples, "src long, dst long, weight double")
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    got = np.zeros(n)
+    for r in weighted_pagerank(df, verts).collect():
+        got[r.vid] = r.rank
+    assert np.allclose(got, oracle, atol=1e-6)
+
+    # unit weights must reduce to the unweighted kernel
+    from tric_spark.operators.pagerank import pagerank
+    unit = spark.createDataFrame(
+        [(u, v, 1.0) for u, v, _ in triples], "src long, dst long, weight double"
+    )
+    w1 = {r.vid: r.rank for r in weighted_pagerank(unit, verts).collect()}
+    u1 = {r.vid: r.rank for r in pagerank(unit.select("src", "dst"), verts).collect()}
+    for v in w1:
+        assert abs(w1[v] - u1[v]) < 1e-9

@@ -129,6 +129,30 @@ def adjacency(oriented: DataFrame) -> DataFrame:
     return oriented.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
 
 
+def canonical_edges_weighted(edges: DataFrame) -> DataFrame:
+    """Weight-preserving canonicalization: (least, greatest, sum of weights
+    over duplicate/reversed rows). The reference stores weights but no
+    kernel reads them (SURVEY §1.1); here they feed weighted PageRank."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def symmetrize_weighted(canon_w: DataFrame) -> DataFrame:
+    return canon_w.select("src", "dst", "weight").union(
+        canon_w.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
 def out_adjacency(directed: DataFrame) -> DataFrame:
     """(vid, nbrs, out_deg) — adjacency-list form of the directed edge table.
 

@@ -127,6 +127,78 @@ def pagerank(
     return cur
 
 
+def weighted_pagerank(
+    directed_w: DataFrame,
+    vertices: DataFrame,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(vid, rank) — PageRank where u distributes rank ∝ edge weight:
+    contribution to v is r(u)·w(u,v)/Σ_x w(u,x). Input: (src, dst, weight)
+    directed edges. Same superstep shape as the unweighted kernel — the
+    weighted adjacency (vid, [(nbr, w/Σw)]) is cached once."""
+    w_adj = (
+        directed_w.groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.collect_list(F.struct("dst", "weight")).alias("nbrs"),
+            F.sum("weight").alias("w_total"),
+        )
+        .cache()
+    )
+    n_b = vertices.count()
+    if n_b == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    n = float(n_b)
+    has_dangling = w_adj.count() < n_b
+    out_vids = w_adj.select("vid")
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+
+    def step(rk: DataFrame) -> DataFrame:
+        dangling = (
+            rk.join(out_vids, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        ) if has_dangling else 0.0
+        contribs = (
+            w_adj.join(rk, "vid")
+            .select(
+                F.explode("nbrs").alias("e"),
+                (F.col("rank") / F.col("w_total")).alias("r_per_w"),
+            )
+            .select(
+                F.col("e.dst").alias("vid"),
+                (F.col("e.weight") * F.col("r_per_w")).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - d) / n + d * dangling / n
+        return (
+            vertices.join(contribs, "vid", "left")
+            .select(
+                "vid",
+                (F.lit(base) + F.lit(d) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
+            )
+        )
+
+    cur = ranks.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = step(cur).localCheckpoint(eager=True)
+        if tol > 0:
+            dl = (
+                cur.withColumnRenamed("rank", "old_rank")
+                .join(nxt, "vid")
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
+                .collect()[0][0]
+            )
+            cur = nxt
+            if dl < tol:
+                break
+        else:
+            cur = nxt
+    return cur
+
+
 def personalized_pagerank(
     directed: DataFrame,
     vertices: DataFrame,
