@@ -51,7 +51,19 @@ def connected_components(
             )
         )
 
+    def _sig(df: DataFrame) -> int:
+        # overflow-safe monotone-ish signature (pmod bounds terms under ANSI)
+        return df.agg(
+            F.sum(F.pmod(F.col("comp"), F.lit(1_000_000_007)))
+        ).collect()[0][0]
+
     def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
+        # two-tier: hash-min comps only decrease, so an unchanged cheap
+        # aggregate signature is a *candidate* fixpoint; confirm exactly
+        # with the join only then. Most supersteps pay one aggregate, not
+        # a join+filter+count.
+        if _sig(new) != _sig(old):
+            return False
         changed = (
             old.withColumnRenamed("comp", "old_comp")
             .join(new, "vid")
