@@ -88,6 +88,12 @@ def q_triangle_count_adj(spark, sf_dir):
     return _scalar(tc.triangle_count_adj(oriented), spark, "tc")
 
 
+def q_triangle_count_adj2(spark, sf_dir):
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return _scalar(tc.triangle_count_adj2(oriented), spark, "tc")
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     oriented = graph.orient_by_degree(canon, deg)
@@ -276,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
+        "triangle_count_adj2": q_triangle_count_adj2,
         "triangles_per_vertex": q_triangles_per_vertex,
         "local_clustering": q_local_clustering,
         "global_clustering": q_global_clustering,
@@ -342,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_join": tc_sql,
         "triangle_count_join_pruned": tc_sql,
         "triangle_count_adj": tc_sql,
+        "triangle_count_adj2": tc_sql,
         "triangles_per_vertex": f"""
             WITH {E}, {_TRI}
             SELECT vid, count(*) AS tc FROM (

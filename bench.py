@@ -103,8 +103,9 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     nv = verts.count()
 
     tc_adj = timed("tc_adj", lambda: tc.triangle_count_adj(oriented))
+    tc_adj2 = timed("tc_adj2", lambda: tc.triangle_count_adj2(oriented))
     tc_join = timed("tc_join", lambda: tc.triangle_count_join(oriented, deg=deg))
-    assert tc_adj == tc_join, (tc_adj, tc_join)
+    assert tc_adj == tc_join == tc_adj2, (tc_adj, tc_join, tc_adj2)
     timed("pagerank5", lambda: pagerank(sym, verts, tol=0.0, max_iter=5).count())
     timed("cc_fixpoint", lambda: connected_components(sym, verts).count())
     timed("lp2", lambda: label_propagation(sym, verts, num_iter=2).count())

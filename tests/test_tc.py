@@ -22,6 +22,7 @@ def test_golden_micrographs(spark, name):
     assert tc.triangle_count_join(odeg, deg=deg) == expected
     assert tc.triangle_count_adj(odeg) == expected
     assert tc.triangle_count_adj(canon) == expected
+    assert tc.triangle_count_adj2(odeg) == expected
 
 
 def test_karate_global_and_per_vertex(spark):
@@ -33,6 +34,7 @@ def test_karate_global_and_per_vertex(spark):
     assert tc.triangle_count_join(canon) == 45
     assert tc.triangle_count_join(odeg, deg=deg) == 45
     assert tc.triangle_count_adj(odeg) == 45
+    assert tc.triangle_count_adj2(odeg) == 45
 
     pv = {r.vid: r.tc for r in tc.triangles_per_vertex_join(canon).collect()}
     expected_first10 = [18, 12, 11, 10, 2, 3, 3, 6, 5, 0]
@@ -55,6 +57,7 @@ def test_random_graph_vs_oracle(spark):
     assert tc.triangle_count_join(canon, prune=True) == total
     assert tc.triangle_count_join(odeg, deg=deg) == total
     assert tc.triangle_count_adj(odeg) == total
+    assert tc.triangle_count_adj2(odeg) == total
 
     pv = {r.vid: r.tc for r in tc.triangles_per_vertex_adj(odeg).collect()}
     assert pv == per

@@ -234,6 +234,85 @@ def local_clustering(oriented: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def _edges_with_dst_adjacency(oriented: DataFrame) -> DataFrame:
+    """(src, dst, dst_nbrs) — dst-side adjacency only, then re-partitioned
+    and sorted by src so each partition holds every edge of its src
+    vertices contiguously. The src adjacency is NOT joined or shipped: a
+    vertex's out-neighbors are exactly the dst values of its own rows, which
+    the kernel reconstructs in-memory from the sorted batch. Halves the
+    shuffled adjacency bytes vs the two-join plan (the src side's
+    Σ out_deg² duplication disappears)."""
+    adj = graph.adjacency(oriented)
+    sp = oriented.sparkSession
+    n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    # LEFT join: edges whose dst is a sink (no out-adjacency) close no wedge
+    # themselves but their dst must still appear in the reconstructed src
+    # adjacency — dropping the row would undercount
+    return (
+        oriented.join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")),
+            "dst",
+            "left",
+        )
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src", "dst")
+        .select("src", "dst", "dst_nbrs")
+    )
+
+
+def _self_adjacency_flatten(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Given batch rows sorted by src, build the flattened (edge_idx,
+    neighbor) pairs of each edge's SRC adjacency from the batch itself:
+    for every edge i with source u, emit (i, v) for all v in A(u) = the dst
+    values of u's contiguous row segment. Pure numpy."""
+    if src.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    # segment boundaries of equal src runs (input sorted by src)
+    boundaries = np.flatnonzero(np.diff(src)) + 1
+    starts = np.concatenate([[0], boundaries]).astype(np.int64)
+    ends = np.concatenate([boundaries, [src.size]]).astype(np.int64)
+    seg_len = ends - starts  # out-degree of each distinct src in this batch
+    # fully vectorized ragged tiling: segment s contributes seg_len[s]²
+    # (row, value) pairs — row = starts[s] + p//len, value-idx = starts[s] + p%len
+    sizes = seg_len * seg_len
+    out_start = np.zeros(starts.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=out_start[1:])
+    rep = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
+    p = np.arange(int(sizes.sum()), dtype=np.int64) - out_start[rep]
+    ln = seg_len[rep]
+    idx = starts[rep] + p // ln
+    vals = dst[starts[rep] + p % ln]
+    return idx, vals
+
+
+def triangle_count_adj2(oriented: DataFrame) -> int:
+    """Global exact TC via the self-adjacency kernel (src adjacency
+    reconstructed in-batch, only dst adjacency shipped)."""
+    import pyarrow as pa
+
+    ewa = _edges_with_dst_adjacency(oriented)
+
+    def kernel(batches):
+        # one partition may arrive as several Arrow batches; a src segment
+        # must not straddle them — combine the whole partition first
+        blist = [b for b in batches if b.num_rows]
+        total = 0
+        if blist:
+            tbl = pa.Table.from_batches(blist).combine_chunks()
+            src = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+            dst = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+            ia, va = _self_adjacency_flatten(src, dst)
+            ib, vb = _flatten_arrow(tbl.column("dst_nbrs").combine_chunks())
+            ei, _ = _intersect_pairs(ia, va, ib, vb)
+            total = int(ei.size)
+        yield pa.RecordBatch.from_arrays([pa.array([total], pa.int64())], names=["partial"])
+
+    partials = ewa.mapInArrow(kernel, schema="partial long")
+    row = partials.agg(F.sum("partial").alias("tc")).collect()[0]
+    return int(row["tc"] or 0)
+
+
 def triangle_count_adj(oriented: DataFrame) -> int:
     """Global exact triangle count via the CSR/Arrow kernel.
 
