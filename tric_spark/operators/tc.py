@@ -214,6 +214,26 @@ def triangles_per_vertex_adj(oriented: DataFrame) -> DataFrame:
     return partials.groupBy("vid").agg(F.sum("partial").alias("tc"))
 
 
+def triangle_count_approx(
+    oriented: DataFrame, p: float = 0.1, seed: int = 42
+) -> float:
+    """DOULION-style approximate TC: keep each edge with probability p
+    (deterministic xxhash64 coin, reproducible at any parallelism), count
+    triangles on the sparsified graph, scale by 1/p³. Unbiased; variance
+    shrinks with graph size.
+
+    Parity note: the reference's hash variants answer probes from a Bloom
+    filter and silently over-count (hashfastric.hpp:56, SURVEY §2.3 #14).
+    We keep EXACT as the default everywhere; this operator is the honest
+    probabilistic counterpart — explicitly approximate, never the default.
+    """
+    threshold = int(p * (2**63))
+    sampled = oriented.filter(
+        F.abs(F.xxhash64("src", "dst", F.lit(seed))) < F.lit(threshold)
+    )
+    return triangle_count_adj(sampled) / (p**3)
+
+
 def local_clustering(oriented: DataFrame, deg: DataFrame) -> DataFrame:
     """(vid, tc, degree, lcc) — local clustering coefficient
     lcc = tc / C(degree, 2) for degree ≥ 2 vertices, rounded 6dp."""
