@@ -338,6 +338,41 @@ _TRI = """
 
 _TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
 
+# distinct token 3-shingles — mirrors tric_spark.operators.dedup.shingles_col
+_GRAMS = """
+  grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN [text]
+                ELSE list_distinct((
+                  SELECT list(array_to_string(list_slice(t, i, i+2), ' '))
+                  FROM unnest(generate_series(1, len(t)-2)) AS u(i)
+                ))
+           END AS g
+    FROM toks
+  )
+"""
+
+
+def _mh_sql(i: int) -> str:
+    """One shingled minhash permutation — mirrors dedup._minhash_col."""
+    return f"list_min(list_transform(g, x -> md5(x || '#{i}')))"
+
+
+def _lsh_band_sql(b: int, rows_per_band: int = 4) -> str:
+    cols = " || ".join(_mh_sql(b * rows_per_band + r) for r in range(rows_per_band))
+    return f"md5({cols}) AS band{b}"
+
+
+def _lsh_cand_sql(n_bands: int = 4) -> str:
+    """Candidate-pair CTE body from banded shingled minhash (k=16, 4 bands
+    of 4 rows — the dedup.lsh_candidate_pairs defaults)."""
+    sig = ", ".join(_lsh_band_sql(b) for b in range(n_bands))
+    unions = " UNION ALL ".join(
+        f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band{b} = y.band{b}"
+        for b in range(n_bands)
+    )
+    return f"sig AS (SELECT doc_id, {sig} FROM grams), cand AS (SELECT DISTINCT a, b FROM ({unions}) WHERE a < b)"
+
 
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
@@ -560,60 +595,17 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "minhash_signatures": f"""
-            WITH {_TOKS},
-            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
+            WITH {_TOKS}, {_GRAMS}
             SELECT doc_id,
-                   list_min(list_transform(dt, x -> md5(x || '#0'))) AS mh0,
-                   list_min(list_transform(dt, x -> md5(x || '#1'))) AS mh1,
-                   list_min(list_transform(dt, x -> md5(x || '#2'))) AS mh2,
-                   list_min(list_transform(dt, x -> md5(x || '#3'))) AS mh3
-            FROM d
+                   {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+            FROM grams
         """,
         "minhash_lsh_pairs": f"""
-            WITH {_TOKS},
-            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
-            sig AS (
-              SELECT doc_id,
-                     md5(list_min(list_transform(dt, x -> md5(x || '#0')))
-                         || list_min(list_transform(dt, x -> md5(x || '#1')))) AS band0,
-                     md5(list_min(list_transform(dt, x -> md5(x || '#2')))
-                         || list_min(list_transform(dt, x -> md5(x || '#3')))) AS band1
-              FROM d
-            )
-            SELECT DISTINCT a, b FROM (
-              SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band0 = y.band0
-              UNION ALL
-              SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band1 = y.band1
-            ) WHERE a < b
+            WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}
+            SELECT a, b FROM cand
         """,
         "ngram_jaccard": f"""
-            WITH {_TOKS},
-            d AS (SELECT doc_id, list_distinct(t) AS dt, t, text FROM toks),
-            sig AS (
-              SELECT doc_id,
-                     md5(list_min(list_transform(dt, x -> md5(x || '#0')))
-                         || list_min(list_transform(dt, x -> md5(x || '#1')))) AS band0,
-                     md5(list_min(list_transform(dt, x -> md5(x || '#2')))
-                         || list_min(list_transform(dt, x -> md5(x || '#3')))) AS band1
-              FROM d
-            ),
-            cand AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band0 = y.band0
-                UNION ALL
-                SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band1 = y.band1
-              ) WHERE a < b
-            ),
-            grams AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) < 3 THEN [text]
-                          ELSE list_distinct((
-                            SELECT list(array_to_string(list_slice(t, i, i+2), ' '))
-                            FROM unnest(generate_series(1, len(t)-2)) AS u(i)
-                          ))
-                     END AS g
-              FROM toks
-            )
+            WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}
             SELECT c.a, c.b,
                    round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
                          / len(list_distinct(x.g || y.g)), 4) AS jaccard

@@ -119,7 +119,7 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     )
     timed(
         "dedup_minhash_lsh",
-        lambda: dedup.lsh_candidate_pairs(docs, k=8, rows_per_band=4).count(),
+        lambda: dedup.lsh_candidate_pairs(docs).count(),
     )
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
     timed(

