@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
     (the reference's recommended AGGR_BUFR_INRECV semantics) per vertex."""
     canon, sym, verts, deg = _graph_tables(spark, SF0001)
     oriented = graph.orient_by_degree(canon, deg)
-    pv = tc.triangles_per_vertex_adj(oriented)
+    pv = tc.triangles_per_vertex_adj2(oriented)
     return (
         pv.join(deg, "vid")
         .select("vid", "tc", "degree")
@@ -102,7 +102,7 @@ def q_triangle_count_adj2(spark, sf_dir):
 def q_triangles_per_vertex(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     oriented = graph.orient_by_degree(canon, deg)
-    return tc.triangles_per_vertex_adj(oriented)
+    return tc.triangles_per_vertex_adj2(oriented)
 
 
 def q_local_clustering(spark, sf_dir):

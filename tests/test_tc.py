@@ -44,6 +44,9 @@ def test_karate_global_and_per_vertex(spark):
     pv2 = {r.vid: r.tc for r in tc.triangles_per_vertex_adj(odeg).collect()}
     assert pv2 == pv
 
+    pv3 = {r.vid: r.tc for r in tc.triangles_per_vertex_adj2(odeg).collect()}
+    assert pv3 == pv
+
 
 def test_random_graph_vs_oracle(spark):
     pairs = er_graph(n=80, p_inv=12)
@@ -61,3 +64,5 @@ def test_random_graph_vs_oracle(spark):
 
     pv = {r.vid: r.tc for r in tc.triangles_per_vertex_adj(odeg).collect()}
     assert pv == per
+    pv2 = {r.vid: r.tc for r in tc.triangles_per_vertex_adj2(odeg).collect()}
+    assert pv2 == per
