@@ -374,6 +374,43 @@ def _lsh_cand_sql(n_bands: int = 4) -> str:
     return f"sig AS (SELECT doc_id, {sig} FROM grams), cand AS (SELECT DISTINCT a, b FROM ({unions}) WHERE a < b)"
 
 
+def _core_numbers_sql(rounds: int = 32) -> str:
+    """Batch peeling unrolled to ``rounds`` waves (sf0.01 needs 16; extra
+    rounds are no-ops on an empty edge table). Mirrors
+    tric_spark.operators.kcore.core_numbers: per wave, the level k is the
+    running max of the min degree, vertices with degree ≤ k (or stranded
+    with no surviving edges) peel at level k."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and each wave references the previous one several times —
+    # un-materialized, the expansion is exponential in `rounds`.
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "k0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e{p} GROUP BY src)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT greatest(coalesce((SELECT min(d) FROM d{i}), 0),"
+            f" (SELECT k FROM k{p})) AS k)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d <= (SELECT k FROM k{i}))"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT src, dst FROM e{p} WHERE src NOT IN (SELECT v FROM p{i})"
+            f" AND dst NOT IN (SELECT v FROM p{i}))"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT v AS vid, (SELECT k FROM k{i}) AS core FROM d{i}"
+            f" WHERE v NOT IN (SELECT src FROM e{i}))"
+        )
+    unions = " UNION ALL ".join(f"SELECT vid, core FROM g{i}" for i in range(1, rounds + 1))
+    return f"WITH {E}, {', '.join(ctes)} SELECT vid, core FROM ({unions})"
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
@@ -426,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(degree), 6) AS avg_degree
             FROM deg
         """,
+        "core_numbers": _core_numbers_sql(),
         "cc_hashmin_step1": f"""
             WITH {E}
             SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp

@@ -37,25 +37,60 @@ def kcore_subgraph(sym_edges: DataFrame, k: int, max_iter: int = 100) -> DataFra
     return edges
 
 
-def core_numbers(sym_edges: DataFrame, max_k: int = 64) -> DataFrame:
-    """(vid, core) — every vertex's core number, by successive peeling.
-    ``max_k`` bounds the loop; web graphs rarely exceed a few hundred."""
+def core_numbers(sym_edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
+    """(vid, core) — every vertex's core number, single-pass batch peeling.
+
+    One loop, one degree aggregation + one scalar min per round: the level
+    k is the running max of the remaining graph's min degree; every vertex
+    whose degree drops to ≤ k is peeled with core = k (vertices stranded
+    with no surviving edges peel at the same level). This is the standard
+    distributed peeling (Montresor et al. shape): barrier count is
+    O(#peeling waves), not O(k_max × waves) like per-k re-peeling, and each
+    wave touches only the shrinking edge table — bounded state at 100 TB.
+
+    ``max_rounds`` is a runaway guard; if it trips, the survivors are
+    emitted with core = current level (clamped, with a warning) rather than
+    silently dropped.
+    """
     spark = sym_edges.sparkSession
-    result = None
     edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
-    k = 1
-    while k <= max_k:
-        nxt = kcore_subgraph(edges, k)
-        in_core = edges.select(F.col("src").alias("vid")).distinct()
-        still = nxt.select(F.col("src").alias("vid")).distinct()
-        dropped = in_core.join(still, "vid", "left_anti").withColumn(
-            "core", F.lit(k - 1)
-        )
-        result = dropped if result is None else result.union(dropped)
-        if nxt.isEmpty():
+    assigned: list[DataFrame] = []
+    k = 0
+    for _ in range(max_rounds):
+        deg = edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
+        min_d = deg.agg(F.min("d")).collect()[0][0]
+        if min_d is None:  # no edges left — every vertex assigned
             break
+        k = max(k, int(min_d))
+        drop = deg.filter(F.col("d") <= k).select("vid")
+        nxt = (
+            edges.join(drop.withColumnRenamed("vid", "src"), "src", "left_anti")
+            .join(drop.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        # peeled this wave = dropped ∪ stranded (all edges gone): everything
+        # alive now that doesn't survive into nxt — all at level k
+        gone = deg.select("vid").join(
+            nxt.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+        )
+        assigned.append(gone.withColumn("core", F.lit(k).cast("long")))
         edges = nxt
-        k += 1
-    if result is None:
-        return spark.createDataFrame([], "vid long, core int")
-    return result.localCheckpoint(eager=True)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"core_numbers: max_rounds={max_rounds} reached at level {k}; "
+            "emitting survivors clamped to the current level"
+        )
+        assigned.append(
+            edges.select(F.col("src").alias("vid"))
+            .distinct()
+            .withColumn("core", F.lit(k).cast("long"))
+        )
+    if not assigned:
+        return spark.createDataFrame([], "vid long, core long")
+    out = assigned[0]
+    for part in assigned[1:]:
+        out = out.union(part)
+    return out.localCheckpoint(eager=True)
