@@ -250,8 +250,16 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # LSH-bucketed default — the scale path, oracle replays the buckets
     return similarity.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    # explicit exact all-pairs baseline (opt-in; test-scale only)
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, use_lsh=False
     )
 
 
@@ -262,12 +270,12 @@ def q_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
-# rows-only checks (no closed-form SQL): approximate / convergent kernels
 def q_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+# rows-only checks (no closed-form SQL): approximate / convergent kernels
 def q_ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
@@ -314,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "events_hourly": q_events_hourly,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -372,6 +381,23 @@ def _lsh_cand_sql(n_bands: int = 4) -> str:
         for b in range(n_bands)
     )
     return f"sig AS (SELECT doc_id, {sig} FROM grams), cand AS (SELECT DISTINCT a, b FROM ({unions}) WHERE a < b)"
+
+
+def _hyperplane_sig_sql(vexpr: str, n_planes: int = 8, seed: int = 42) -> str:
+    """Random-hyperplane LSH signature — mirrors
+    tric_spark.operators.similarity.hyperplane_signature: plane p's weight
+    for dimension d is +1/-1 from hex digit p of md5('seed:d'); the
+    projection is rounded 6dp before the sign on BOTH engines."""
+
+    def bit(p: int) -> str:
+        return f"""CASE WHEN round((
+          SELECT sum(CASE WHEN strpos('89abcdef',
+                            substr(md5('{seed}:' || (i-1)::VARCHAR), {p + 1}, 1)) > 0
+                     THEN {vexpr}[i] ELSE -{vexpr}[i] END)
+          FROM unnest(generate_series(1, len({vexpr}))) AS u(i)), 6) >= 0
+        THEN '1' ELSE '0' END"""
+
+    return "concat(" + ", ".join(bit(p) for p in range(n_planes)) + ")"
 
 
 def _core_numbers_sql(rounds: int = 32) -> str:
@@ -675,12 +701,48 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        "embedding_neardup": """
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS MATERIALIZED (
+              SELECT vec_id, {_hyperplane_sig_sql("v", n_planes=32)} AS s FROM e
+            ),
+            cand AS (
+              SELECT DISTINCT a, b FROM (
+                {" UNION ALL ".join(
+                    f"SELECT x.vec_id AS a, y.vec_id AS b FROM sig x JOIN sig y"
+                    f" ON substr(x.s, {band * 8 + 1}, 8) = substr(y.s, {band * 8 + 1}, 8)"
+                    f" AND x.vec_id < y.vec_id"
+                    for band in range(4)
+                )}
+              )
+            )
+            SELECT c.a, c.b, round(list_cosine_similarity(x.v, y.v), 6) AS cos
+            FROM cand c JOIN e x ON x.vec_id = c.a JOIN e y ON y.vec_id = c.b
+            WHERE round(list_cosine_similarity(x.v, y.v), 6) > 0.4
+        """,
+        "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT x.vec_id AS a, y.vec_id AS b,
                    round(list_cosine_similarity(x.v, y.v), 6) AS cos
             FROM e x JOIN e y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.v, y.v), 6) > 0.4
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sig AS MATERIALIZED (
+              SELECT vec_id, v, {_hyperplane_sig_sql("v")} AS bucket FROM e
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, s.vec_id,
+                     round(list_cosine_similarity(q.qv, s.v), 6) AS cos
+              FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

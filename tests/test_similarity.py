@@ -61,13 +61,37 @@ def test_lsh_topk_subset_of_bucket(spark):
 def test_neardup_lsh_subset_of_exact(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {
+        (r.a, r.b)
+        for r in sim.embedding_neardup_pairs(emb, threshold=0.4, use_lsh=False).collect()
+    }
+    default = {  # LSH is the default — the 100 TB path must be opt-out
         (r.a, r.b) for r in sim.embedding_neardup_pairs(emb, threshold=0.4).collect()
     }
-    lsh = {
+    narrow = {  # 2-bit bands: near-exhaustive recall at this loose threshold
         (r.a, r.b)
         for r in sim.embedding_neardup_pairs(
-            emb, threshold=0.4, use_lsh=True, n_planes=4
+            emb, threshold=0.4, n_planes=8, n_bands=4
         ).collect()
     }
-    assert lsh <= exact
+    assert default <= exact and narrow <= exact
     assert len(exact) > 0
+    # the synthetic corpus has no true near-dups (max cos ≈ 0.48), so test
+    # recall with bands narrow enough for that regime
+    assert len(narrow) >= 0.5 * len(exact), (len(narrow), len(exact))
+
+
+def test_ivf_centroid_pick_is_distributed_topk(spark):
+    """VERDICT r1 #3: the centroid sample must compile to a distributed
+    TakeOrderedAndProject, not a single-partition global window over the
+    whole embeddings table."""
+    emb = load_table(spark, SF, "embeddings")
+    cents, assign = sim.ivf_assignments(emb, n_centroids=16)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assign.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert cents.count() == 16

@@ -75,7 +75,10 @@ def ann_bruteforce_topk(
 def hyperplane_signature(vec_col: Column, n_planes: int = 8, seed: int = 42) -> Column:
     """Sign-of-projection LSH signature: plane p's weight for dimension d is
     +1/−1 from bit p of md5(seed:d) — deterministic, no RNG state, identical
-    at any parallelism (same property as the reference's LCG scheme)."""
+    at any parallelism (same property as the reference's LCG scheme).
+    ``n_planes`` ≤ 32 (one md5 hex digit per plane)."""
+    if n_planes > 32:
+        raise ValueError("hyperplane_signature supports at most 32 planes")
     v = vec_col
 
     def plane_bit(p: int) -> Column:
@@ -99,7 +102,9 @@ def hyperplane_signature(vec_col: Column, n_planes: int = 8, seed: int = 42) -> 
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+        # 6dp rounding before the sign keeps the bucket replayable by the
+        # DuckDB oracle despite float summation-order differences
+        return F.when(F.round(proj, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[plane_bit(p) for p in range(n_planes)])
 
@@ -149,19 +154,29 @@ def ivf_assignments(
 
     Centroids are chosen deterministically (the ``n_centroids`` vectors with
     smallest xxhash64(id) — a seedless uniform sample, same at any
-    parallelism); every vector is assigned to its nearest centroid by cosine
-    via a broadcast join (centroids are tiny; the big table streams once).
-    One Lloyd refinement would be ``assignments.groupBy(cell).agg(avg per
-    dim)`` — omitted: for ANN bucketing the sampled quantizer suffices.
+    parallelism) via ``orderBy(...).limit(n)``, which compiles to a
+    distributed TakeOrderedAndProject: each partition keeps its local top-n
+    and only n_centroids rows ever reach one place — never the whole table
+    through a single-partition window. Every vector is then assigned to its
+    nearest centroid by cosine via a broadcast join (centroids are tiny; the
+    big table streams once). One Lloyd refinement would be
+    ``assignments.groupBy(cell).agg(avg per dim)`` — omitted: for ANN
+    bucketing the sampled quantizer suffices.
     """
     from pyspark.sql import Window
 
     e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
-    w = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    picked = (
+        e.select("vec_id", "v", F.xxhash64(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+    # the window runs over the already-limited ≤ n_centroids rows — a
+    # single tiny partition, not the corpus
+    w = Window.orderBy("h", "vec_id")
     cents = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_centroids)
-        .select(F.col("rn").alias("cent_id"), F.col("v").alias("cv"))
+        picked.withColumn("cent_id", F.row_number().over(w))
+        .select("cent_id", F.col("v").alias("cv"))
     )
     scored = e.join(F.broadcast(cents)).select(
         "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
@@ -223,19 +238,44 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
-    n_planes: int = 8,
+    use_lsh: bool = True,
+    n_planes: int = 32,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine > threshold. ``use_lsh`` restricts the
-    pair generation to LSH buckets (approximate at scale); otherwise exact
-    over all pairs (test-scale baseline, still never collected to the
-    driver)."""
+    """(a, b, cos) pairs with cosine > threshold.
+
+    Default (``use_lsh``): banded random-hyperplane LSH — the 32-bit
+    signature is split into 4 contiguous 8-bit bands; any pair agreeing on
+    at least one whole band is a candidate, verified with the exact cosine.
+    Same banded-groupBy shape as MinHash LSH: each band is one groupBy
+    cell, never a cross product. At the defaults a near-orthogonal pair
+    collides with probability ~4·2^-8 ≈ 1.6% while a cosine-0.95 pair is
+    caught with ~90% probability; widen bands (or add planes) to trade
+    recall for selectivity.
+
+    ``use_lsh=False`` is the exact all-pairs baseline: an explicit opt-in
+    for oracle/test-scale use only (it executes a cross join).
+    """
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if use_lsh:
-        e = e.withColumn("bucket", hyperplane_signature(F.col("v"), n_planes))
-        a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-        b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+        sig = e.withColumn("sig", hyperplane_signature(F.col("v"), n_planes))
+        width = n_planes // n_bands
+        pair_sets = []
+        for band in range(n_bands):
+            banded = sig.select(
+                "id", "v", F.substring("sig", band * width + 1, width).alias("bucket")
+            )
+            a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+            b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+            pair_sets.append(
+                a.join(b, "bucket")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b", "va", "vb")
+            )
+        pairs = pair_sets[0]
+        for p in pair_sets[1:]:
+            pairs = pairs.union(p)
+        pairs = pairs.dropDuplicates(["a", "b"])
     else:
         a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
         b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
