@@ -193,13 +193,12 @@ def q_lp_iter2(spark, sf_dir):
 
 
 def q_top_hubs(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # orderBy+limit compiles to a distributed TakeOrderedAndProject (each
+    # partition keeps a local top-20) — never a single-partition window
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
-    w = Window.orderBy(F.col("degree").desc(), F.col("vid").asc())
     return (
-        deg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        deg.orderBy(F.col("degree").desc(), F.col("vid").asc())
+        .limit(20)
         .select("vid", "degree")
     )
 
@@ -575,7 +574,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT user_id, ts, value,
                      sum(CASE WHEN prev_ts IS NULL
-                              OR epoch(ts) - epoch(prev_ts) >= 1800
+                              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid

@@ -73,3 +73,20 @@ def test_batch_sessionize_gap_semantics(spark):
         for r in sessionize_batch(df, gap_minutes=30).collect()
     }
     assert got == {(1, 0, 2, 3.0), (1, 0, 1, 4.0), (2, 5, 1, 8.0)}
+
+
+def test_batch_gap_is_microsecond_exact(spark):
+    """ADVICE r1: sub-second timestamps near the gap boundary must classify
+    identically in batch and stream. True gap 1799.2s (< 30 min) is one
+    session; whole-second truncation would call it 1800 and split it."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0, 900000), 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0, 100000), 2.0),  # gap 1799.2s
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0, 100000), 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0, 100000), 2.0),  # gap 1800.0s
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.n_events) for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    assert got == {(1, 2), (2, 1)}, got  # u1 one session of 2; u2 two sessions

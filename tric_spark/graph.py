@@ -29,10 +29,13 @@ def assign_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
 
     At 10^12-document scale a global dictionary (row_number over a total
     order) is a prohibitive single sort; xxhash64 gives a stable, shuffle-free
-    id. Collision probability at n=10^12 over 64 bits ≈ n²/2^65 ≈ 2.7% for
-    the whole corpus — so callers must run :func:`audit_id_collisions` and
-    fall back to :func:`assign_dense_ids` (or widen to 128-bit via two
-    hashes) if it reports any. Returns (url, vid).
+    id. Birthday math: the EXPECTED number of colliding pairs is n²/2^65 —
+    ≈ 0.03 at n=10^9 (collisions unlikely), but ≈ 27,000 at n=10^12
+    (collisions certain). Above ~10^9 vertices default to 128-bit ids (two
+    independent hashes, e.g. xxhash64 of the url and of its reverse) instead
+    of relying on the fallback. At any scale callers must run
+    :func:`audit_id_collisions` and fall back to :func:`assign_dense_ids`
+    (or the 128-bit widening) if it reports any. Returns (url, vid).
     """
     return urls.select(url_col).distinct().withColumn("vid", F.xxhash64(F.col(url_col)))
 

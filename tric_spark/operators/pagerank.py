@@ -114,6 +114,10 @@ def pagerank(
     # before the data does. The materialization is also a driver barrier
     # (the non-scaling term of a superstep), so fixed-iteration mode chains
     # 3 supersteps lazily per checkpoint: 3× fewer barriers, bounded plans.
+    # Chaining only pays when steps are fully lazy: with dangling vertices
+    # each step's dangling-mass collect() is itself a barrier that would
+    # re-execute every uncheckpointed step in the chain (quadratic
+    # recompute), so the dangling path checkpoints every superstep.
     cur = ranks.localCheckpoint(eager=True)
     if tol > 0:
         for _ in range(max_iter):
@@ -125,7 +129,7 @@ def pagerank(
         return cur
     for i in range(max_iter):
         cur = step(cur)
-        if (i + 1) % 3 == 0 or i == max_iter - 1:
+        if has_dangling or (i + 1) % 3 == 0 or i == max_iter - 1:
             cur = cur.localCheckpoint(eager=True)
     return cur
 

@@ -83,10 +83,15 @@ def salted_join(
 
     Hot keys (freq > threshold in ``large``) are detected once; ``small``'s
     hot rows are exploded ×num_salts (build-side replication), ``large``'s
-    hot rows get a deterministic salt from xxhash64 of their whole row id
-    space. Cold keys keep salt 0 — zero overhead. Result is row-identical
-    to the plain join.
+    hot rows get a deterministic salt: xxhash64 of the WHOLE row. The salt
+    must be a pure function of row content — a nondeterministic source
+    (monotonically_increasing_id, rand) would re-salt differently when a
+    failed stage recomputes a partition, duplicating or dropping join rows
+    exactly on the large skewed jobs this targets. (Identical duplicate
+    rows share a salt — coarser spreading, still correct.) Cold keys keep
+    salt 0 — zero overhead. Result is row-identical to the plain join.
     """
+    large_cols = [F.col(c) for c in large.columns]
     hk = hot_keys(large, key, hot_threshold).select("hot_key")
     is_hot_l = F.col("hot_key").isNotNull()
     salted_large = (
@@ -97,7 +102,7 @@ def salted_join(
             "_salt",
             F.when(
                 is_hot_l,
-                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),
+                F.pmod(F.xxhash64(*large_cols), F.lit(num_salts)),
             ).otherwise(F.lit(0)),
         )
         .drop("hot_key")

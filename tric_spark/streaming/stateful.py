@@ -109,7 +109,11 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= gap_s)
+                # microsecond epochs, NOT unix_timestamp (whole-second
+                # truncation): the streaming kernel compares microsecond
+                # epochs, and sub-second gaps at the boundary must classify
+                # identically or the stream==batch contract breaks
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= gap_s * 1_000_000)
             ).cast("int"),
         )
         .withColumn("session_id", F.sum("new_session").over(w))
