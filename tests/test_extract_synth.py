@@ -54,6 +54,44 @@ def test_outlink_edges_match_idspace_graph(spark):
     assert direct.count() > n  # sanity: avg out-degree > 1
 
 
+def test_jvm_href_twin_byte_equality(spark):
+    """The JVM regexp_extract_all twin must reproduce the pinned Python
+    extractor byte-for-byte — on the synth corpus and on adversarial
+    snippets (case, quote style, newlines inside the tag)."""
+    from tric_spark.extract import outlinks_jvm
+
+    pages = synth.pages_table(spark, n_pages=300, seed=42)
+    rows = pages.select("url", "html", outlinks_jvm().alias("jvm_links")).collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert list(r.jvm_links) == extract_outlinks(bytes(r.html)), r.url
+
+    tricky = [
+        '<A HREF="https://x/1">c</A>',
+        "<a class='z'\nhref='https://x/2'>c</a>",
+        '<a href="">empty</a><a data-href="https://no/3">skip</a>',
+        '<ahref="https://no/4">not-a-tag</a>',
+        '<a id="k" href="https://x/5">c</a> text <a href=\'https://x/6\'>c</a>',
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "html string")
+    got = [list(r.l) for r in df.select(outlinks_jvm().alias("l")).collect()]
+    want = [extract_outlinks(t) for t in tricky]
+    assert got == want, list(zip(got, want))
+
+
+def test_outlink_edges_default_plan_has_no_python(spark):
+    """The 100-TB ingest stage (edge build) must run JVM-side."""
+    import contextlib
+    import io
+
+    pages = synth.pages_table(spark, n_pages=50, seed=42)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        outlink_edges(pages).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_synth_determinism_across_parallelism(spark):
     """Same table at 2 and 16 partitions — the LCG-analog invariant
     (pure function of (seed, id), SURVEY §2.1)."""

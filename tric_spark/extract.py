@@ -75,13 +75,35 @@ def with_extracted(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ).withColumn("outlinks", extract_outlinks_udf(F.col(html_col)))
 
 
-def outlink_edges(pages: DataFrame, html_col: str = "html") -> DataFrame:
+# JVM twin of _HREF_RE: (?s) for re.S, (?i) for re.I; the pattern body is
+# identical and byte-equality against the pinned extractor is asserted on
+# the synth corpus (tests/test_extract_synth.py)
+_HREF_PATTERN_JVM = """(?si)<a\\s[^>]*?href=["']([^"']*)["']"""
+
+
+def outlinks_jvm(html_col: str = "html"):
+    """href list as a JVM-side column expression (regexp_extract_all inside
+    whole-stage codegen — no Python workers)."""
+    return F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_HREF_PATTERN_JVM), F.lit(1)
+    )
+
+
+def outlink_edges(pages: DataFrame, html_col: str = "html", jvm: bool = True) -> DataFrame:
     """(src_url, dst_url) directed link table from the pages' html.
+
+    Edge-build is the one stage that touches every input byte at 100 TB,
+    so by default the hrefs come from the JVM ``regexp_extract_all`` twin
+    of the pinned extractor (byte-equality-tested against it) — the ingest
+    stage runs entirely inside whole-stage codegen with no Python workers.
+    ``jvm=False`` routes through the pinned pandas-UDF extractor itself
+    (the invariant-bearing reference path).
 
     Column pruning matters at 100 TB: only (url, html) are read, so the
     parquet/Iceberg scan prunes text/lang (visible as ReadSchema in
     .explain)."""
+    links = outlinks_jvm(html_col) if jvm else extract_outlinks_udf(F.col(html_col))
     return (
-        pages.select("url", extract_outlinks_udf(F.col(html_col)).alias("outlinks"))
+        pages.select("url", links.alias("outlinks"))
         .select(F.col("url").alias("src_url"), F.explode("outlinks").alias("dst_url"))
     )
