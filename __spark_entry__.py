@@ -99,6 +99,13 @@ def q_triangle_count_adj2(spark, sf_dir):
     return _scalar(tc.triangle_count_adj2(oriented), spark, "tc")
 
 
+def q_triangle_count_salted(spark, sf_dir):
+    # hub-split hybrid on the id-oriented edge table; tau=8 forces both the
+    # cold (self-adjacency) and hot (2-D grid) branches to carry load
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return _scalar(tc.triangle_count_adj2_salted(canon, tau=8, num_salts=4), spark, "tc")
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     oriented = graph.orient_by_degree(canon, deg)
@@ -295,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
         "triangle_count_adj2": q_triangle_count_adj2,
+        "triangle_count_salted": q_triangle_count_salted,
         "triangles_per_vertex": q_triangles_per_vertex,
         "local_clustering": q_local_clustering,
         "global_clustering": q_global_clustering,
@@ -452,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_join_pruned": tc_sql,
         "triangle_count_adj": tc_sql,
         "triangle_count_adj2": tc_sql,
+        "triangle_count_salted": tc_sql,
         "triangles_per_vertex": f"""
             WITH {E}, {_TRI}
             SELECT vid, count(*) AS tc FROM (

@@ -72,3 +72,60 @@ def test_tc_on_2d_partitioned_input_unchanged(spark):
     assert tc.triangle_count_join(grid) == total
     deg = graph.degrees(graph.symmetrize(canon))
     assert tc.triangle_count_adj(graph.orient_by_degree(grid, deg)) == total
+
+
+def _hub_chain_graph(spark, n_leaves=4000):
+    """Hub 0 → every leaf, plus a leaf chain i→i+1: id-canonical orientation
+    keeps the hub's out-degree at n_leaves, and every hub edge closes a
+    wedge through the chain (n_leaves-1 triangles)."""
+    hub = spark.range(1, n_leaves + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    chain = spark.range(1, n_leaves).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return graph.canonical_edges(hub.union(chain))
+
+
+def test_salted_tc_kernel_exact_on_hub_graph(spark):
+    """VERDICT r1 #5: the 2-D/salted primitives must be consumed by a real
+    kernel. The hybrid hub-split TC must match the plain kernels on a graph
+    whose id orientation keeps a 20k-out-degree hub."""
+    canon = _hub_chain_graph(spark)
+    want = 4000 - 1
+    assert tc.triangle_count_adj2_salted(canon, tau=500, num_salts=8) == want
+    # NOTE deliberately no plain-adj2 comparison here: on an id-oriented hub
+    # the self-adjacency reconstruction is quadratic in hub degree — that
+    # blowup is exactly what the hybrid avoids
+
+
+def test_salted_tc_both_branches_on_er_graph(spark):
+    """tau small enough that many srcs go hot — both branches carry load."""
+    from conftest import edges_df
+
+    pairs = er_graph(n=80, p_inv=8)
+    total, _ = tc_oracle(pairs)
+    canon = graph.canonical_edges(edges_df(spark, pairs))
+    assert tc.triangle_count_adj2_salted(canon, tau=4, num_salts=4) == total
+
+
+def test_grid_layout_balances_hub_and_shows_grid_keys(spark):
+    canon = _hub_chain_graph(spark)
+    adj = graph.adjacency(canon)
+    hot = adj.filter(F.size("nbrs") > 1000).select("src")
+    hot_e = canon.join(F.broadcast(hot), "src", "left_semi")
+    n_hot = hot_e.count()
+    assert n_hot == 4000  # the hub's edges
+
+    layout = tc._grid_layout_hot(hot_e, adj, num_salts=32)
+    stats = P.partition_stats(layout)
+    # unsalted, all 4k rows of src=0 land in ONE task; the grid bounds it
+    assert stats["max"] <= 0.3 * n_hot, stats
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        layout.explain(mode="formatted")
+    assert "_salt" in buf.getvalue()

@@ -254,15 +254,21 @@ def local_clustering(oriented: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def _edges_with_dst_adjacency(oriented: DataFrame) -> DataFrame:
+def _edges_with_dst_adjacency(oriented: DataFrame, adj: DataFrame | None = None) -> DataFrame:
     """(src, dst, dst_nbrs) — dst-side adjacency only, then re-partitioned
     and sorted by src so each partition holds every edge of its src
     vertices contiguously. The src adjacency is NOT joined or shipped: a
     vertex's out-neighbors are exactly the dst values of its own rows, which
     the kernel reconstructs in-memory from the sorted batch. Halves the
     shuffled adjacency bytes vs the two-join plan (the src side's
-    Σ out_deg² duplication disappears)."""
-    adj = graph.adjacency(oriented)
+    Σ out_deg² duplication disappears).
+
+    ``adj``: pass the adjacency of the FULL graph when ``oriented`` is a
+    subset of it (the hybrid hub-split kernel does) — witnesses must come
+    from the whole graph. Requires every edge of each src in ``oriented``
+    to be present (splits must be per-src)."""
+    if adj is None:
+        adj = graph.adjacency(oriented)
     sp = oriented.sparkSession
     n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
     # LEFT join: edges whose dst is a sink (no out-adjacency) close no wedge
@@ -367,18 +373,10 @@ def triangle_count_adj2(oriented: DataFrame) -> int:
     return int(row["tc"] or 0)
 
 
-def triangle_count_adj(oriented: DataFrame) -> int:
-    """Global exact triangle count via the CSR/Arrow kernel.
-
-    Each triangle is found exactly once (at its base edge — the two
-    orientation-smallest vertices), so the global count needs no rescale;
-    the per-vertex partials count it at 3 corners (tc(v) sums to 3× the
-    global count, mirroring the non-oriented variants' ttc/3,
-    tric.hpp:215–217).
-    """
+def _count_two_sided(ewa: DataFrame) -> DataFrame:
+    """One-row-per-partition partial counts of |src_nbrs ∩ dst_nbrs| over a
+    (src, dst, src_nbrs, dst_nbrs) layout."""
     import pyarrow as pa
-
-    ewa = _edges_with_adjacency(oriented)
 
     def kernel(batches):
         total = 0
@@ -391,6 +389,88 @@ def triangle_count_adj(oriented: DataFrame) -> int:
             total += int(ei.size)
         yield pa.RecordBatch.from_arrays([pa.array([total], pa.int64())], names=["partial"])
 
-    partials = ewa.mapInArrow(kernel, schema="partial long")
+    return ewa.select("src_nbrs", "dst_nbrs").mapInArrow(kernel, schema="partial long")
+
+
+def triangle_count_adj(oriented: DataFrame) -> int:
+    """Global exact triangle count via the CSR/Arrow kernel.
+
+    Each triangle is found exactly once (at its base edge — the two
+    orientation-smallest vertices), so the global count needs no rescale;
+    the per-vertex partials count it at 3 corners (tc(v) sums to 3× the
+    global count, mirroring the non-oriented variants' ttc/3,
+    tric.hpp:215–217).
+    """
+    partials = _count_two_sided(_edges_with_adjacency(oriented))
     row = partials.agg(F.sum("partial").alias("tc")).collect()[0]
+    return int(row["tc"] or 0)
+
+
+def _grid_layout_hot(hot_edges: DataFrame, adj: DataFrame, num_salts: int) -> DataFrame:
+    """2-D grid layout for hub srcs: both adjacencies joined, then the hub's
+    edges spread over (src, hash(dst) mod num_salts) grid cells. The src
+    adjacency is duplicated at most num_salts× per hub (bounded, vs the
+    Σ out_deg² blowup of leaving a deg-D hub's D rows in one task). This is
+    where plans/partition.py's 2-D decomposition meets an actual kernel —
+    the generalization of the reference's 1-D parts_ ownership
+    (graph.hpp:124–188)."""
+    sp = hot_edges.sparkSession
+    n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        hot_edges.join(adj.withColumnRenamed("nbrs", "src_nbrs"), "src")
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")),
+            "dst",
+            "inner",  # sink dsts close no wedge for the global count
+        )
+        .withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(num_salts)))
+        .repartition(n_part, "src", "_salt")
+        .select("src", "dst", "src_nbrs", "dst_nbrs")
+    )
+
+
+def triangle_count_adj2_salted(
+    oriented: DataFrame, tau: int = 4096, num_salts: int = 8
+) -> int:
+    """Global exact TC, hub-split hybrid: srcs with out-degree ≤ tau ride
+    the self-adjacency kernel (cheapest shuffle); srcs above tau — the hubs
+    a power law guarantees — take the 2-D grid path so no single task owns
+    a hub's whole out-neighborhood. Exact same count as the other kernels;
+    per-edge work is independent of placement, so the split is free of
+    double counting (each base edge lands in exactly one branch by its
+    src's degree).
+
+    Degree orientation already bounds out-degree by O(√m), making this
+    hybrid rarely needed after `orient_by_degree`; it exists for inputs
+    oriented by id (the reference's global_i < j < k mode,
+    inbufastric.hpp:192) where hubs survive orientation."""
+    adj = graph.adjacency(oriented)
+    hot = adj.filter(F.size("nbrs") > tau).select("src")
+    cold_e = oriented.join(F.broadcast(hot), "src", "left_anti")
+    hot_e = oriented.join(F.broadcast(hot), "src", "left_semi")
+
+    import pyarrow as pa
+
+    cold_ewa = _edges_with_dst_adjacency(cold_e, adj=adj)
+
+    def cold_kernel(batches):
+        blist = [b for b in batches if b.num_rows]
+        total = 0
+        if blist:
+            tbl = pa.Table.from_batches(blist).combine_chunks()
+            src = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+            dst = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+            ia, va = _self_adjacency_flatten(src, dst)
+            ib, vb = _flatten_arrow(tbl.column("dst_nbrs").combine_chunks())
+            ei, _ = _intersect_pairs(ia, va, ib, vb)
+            total = int(ei.size)
+        yield pa.RecordBatch.from_arrays([pa.array([total], pa.int64())], names=["partial"])
+
+    cold_partials = cold_ewa.mapInArrow(cold_kernel, schema="partial long")
+    hot_partials = _count_two_sided(_grid_layout_hot(hot_e, adj, num_salts))
+    row = (
+        cold_partials.union(hot_partials)
+        .agg(F.sum("partial").alias("tc"))
+        .collect()[0]
+    )
     return int(row["tc"] or 0)
