@@ -49,3 +49,50 @@ def test_frame_sample_plan(spark):
     durs = {r.media_id: r.duration_ms for r in media.filter("kind='video'").collect()}
     for r in rows:
         assert 0 <= r.frame_ts_ms <= durs[r.media_id]
+
+
+def _wav_bytes(freq_hz: float, n_frames: int = 8000, rate: int = 8000) -> bytes:
+    """Genuine PCM16 WAV bytes: one-second sine at freq_hz."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(20000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            )
+            for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_wav_decode_and_features(spark):
+    """decode_audio is a REAL decoder (stdlib wave): a sine's RMS must be
+    amplitude/sqrt(2); corrupt payloads null out, never kill the task."""
+    import numpy as np
+
+    from tric_spark.operators.multimodal import decode_audio, extract_audio_features
+
+    wav = _wav_bytes(440.0)
+    rate, nch, x = decode_audio(wav)
+    assert (rate, nch) == (8000, 1) and x.shape == (8000, 1)
+    assert abs(float(np.sqrt((x**2).mean())) - (20000 / 32768) / np.sqrt(2)) < 1e-3
+
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(_wav_bytes(100.0, n_frames=4000))),
+        (3, bytearray(b"not a wav at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].duration_ms == 1000
+    assert got[2].duration_ms == 500
+    assert abs(got[1].rms - (20000 / 32768) / 2**0.5) < 1e-3
+    assert got[3].sample_rate is None and got[3].rms is None

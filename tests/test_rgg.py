@@ -1,0 +1,60 @@
+"""True RGG source vs a numpy brute-force oracle (reference GenerateRGG,
+graph.hpp:626-1258: unit square, radius rn_, -p% random extra edges)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tric_spark import graph, synth
+from tric_spark.operators import tc
+
+
+def _numpy_rgg(points, r):
+    ids = np.array([p.vid for p in points])
+    xy = np.array([[p.x, p.y] for p in points])
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = d2[iu, ju] <= r * r
+    return {(int(ids[i]), int(ids[j])) for i, j in zip(iu[keep], ju[keep])}
+
+
+def test_rgg_edges_match_numpy_oracle(spark):
+    n = 300
+    r = synth.rgg_default_radius(n)
+    pts = synth.rgg_points(spark, n).collect()
+    want = _numpy_rgg(pts, r)
+    got = {(r_.src, r_.dst) for r_ in synth.rgg_edges(spark, n).collect()}
+    assert got == want
+    assert len(want) > n  # connectivity-radius RGG: avg degree > 2
+
+
+def test_rgg_triangles_match_oracle(spark):
+    from oracles import tc_oracle
+
+    n = 300
+    edges = synth.rgg_edges(spark, n).select("src", "dst")
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    total, _ = tc_oracle(pairs)
+    canon = graph.canonical_edges(edges)
+    deg = graph.degrees(graph.symmetrize(canon))
+    assert tc.triangle_count_adj(graph.orient_by_degree(canon, deg)) == total
+    assert total > 0  # geometric graphs are triangle-rich
+
+
+def test_rgg_extra_edges_and_weights(spark):
+    n = 400
+    base = synth.rgg_edges(spark, n).count()
+    withx = synth.rgg_edges(spark, n, extra_edge_pct=10.0)
+    n_extra = withx.count() - base
+    assert 0 < n_extra <= int(10.0 * n / 100)  # minus self-loops/dup collisions
+    # euclidean weights are the actual distances, bounded by the radius
+    ew = synth.rgg_edges(spark, n, unit_weight=False)
+    r = synth.rgg_default_radius(n)
+    bad = ew.filter((F.col("weight") <= 0) | (F.col("weight") > r)).count()
+    assert bad == 0
+    assert synth.rgg_edges(spark, n).filter(F.col("weight") != 1.0).count() == 0
+
+
+def test_rgg_determinism_across_parallelism(spark):
+    a = synth.rgg_edges(spark, 200).repartition(2).orderBy("src", "dst").collect()
+    b = synth.rgg_edges(spark, 200).repartition(16).orderBy("src", "dst").collect()
+    assert a == b

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas`` kernels.
 
-The decode step itself is STUBBED (the sandbox ships no image/audio codecs):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder (pure function of the bytes) stands
-in so the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and fully tested. Swapping in PIL/librosa later touches
-exactly one function.
+Codec inventory (probed 2026-08-16 in this container): PIL, cv2, imageio,
+skimage, av, soundfile and librosa are all ABSENT; the only codec shipped is
+the stdlib ``wave`` module. Consequently:
+
+- ``decode_audio`` is a REAL decoder for PCM WAV payloads (stdlib wave +
+  numpy frombuffer — no external deps), with real features over mapInPandas.
+- ``decode_image`` stays STUBBED: it raises ``NotImplementedError`` unless
+  ``fake=True``, in which case a deterministic fake decoder (pure function
+  of the bytes) stands in so the Spark-side plumbing — schema, batch shape,
+  partitioning, UDF signature — is real and fully tested. Swapping in PIL
+  later touches exactly one function.
 
 Scale design: media bytes never pass through the driver; each worker sees an
 Arrow batch of (id, bytes, meta) and emits fixed-width feature rows. Batch
@@ -55,6 +60,65 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return rng.reshape(8, 8, 3).copy()
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a PCM WAV payload → (sample_rate, n_channels,
+    samples float32 in [-1, 1], shape (n_frames, n_channels)).
+
+    Stdlib-only (wave + numpy): 8-bit unsigned, 16-bit and 32-bit signed
+    PCM. Raises ``wave.Error`` on non-WAV bytes — callers in kernels catch
+    and null out the row rather than failing the task."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    return rate, nch, x.reshape(-1, nch)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, duration_ms long, "
+    "rms float, peak float"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_channels, duration_ms, rms, peak) — real
+    WAV decode + per-clip stats over Arrow batches. Non-WAV/corrupt payloads
+    yield a row of nulls (ingest must not die on one bad file)."""
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in ("sample_rate", "n_channels", "duration_ms", "rms", "peak")}
+            for payload in pdf["payload"]:
+                try:
+                    rate, nch, x = decode_audio(bytes(payload or b""))
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["duration_ms"].append(int(1000 * len(x) / rate) if rate else 0)
+                    out["rms"].append(float(np.sqrt((x**2).mean())) if x.size else 0.0)
+                    out["peak"].append(float(np.abs(x).max()) if x.size else 0.0)
+                except (wave.Error, EOFError, ValueError):
+                    for k in out:
+                        out[k].append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), **out})
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def media_repartition(media: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:

@@ -117,3 +117,113 @@ def link_edges(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     return df.select(
         F.col("vid").alias("src"), F.explode(targets).alias("dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# True RGG source (reference GenerateRGG, graph.hpp:626-1258)
+# ---------------------------------------------------------------------------
+
+
+def rgg_default_radius(n: int) -> float:
+    """The reference's connectivity radius rn_ = (rc + rt)/2 with
+    rc = sqrt(ln n / (pi n)), rt = sqrt(2.0736 / n) (graph.hpp:670-672)."""
+    import math
+
+    return (math.sqrt(math.log(n) / (math.pi * n)) + math.sqrt(2.0736 / n)) / 2.0
+
+
+def rgg_points(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """(vid, x, y) — n points in the unit square; coordinates are pure
+    functions of (seed, vid) (the LCG-analog determinism invariant: same
+    table at any parallelism). 30-bit resolution keeps the doubles exact."""
+    df = spark.range(n).withColumnRenamed("id", "vid")
+
+    def u(k: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(seed + k), F.col("vid")), F.lit(1 << 30)) / F.lit(
+            float(1 << 30)
+        )
+
+    return df.select("vid", u(100).alias("x"), u(101).alias("y"))
+
+
+def rgg_edges(
+    spark: SparkSession,
+    n: int,
+    radius: float | None = None,
+    extra_edge_pct: float = 0.0,
+    seed: int = 42,
+    unit_weight: bool = True,
+) -> DataFrame:
+    """Canonical (src, dst, weight) RGG edge table, src < dst.
+
+    Reference semantics (GenerateRGG::generate, graph.hpp:684-1164): points
+    in the unit square, an edge where squared Euclidean distance ≤ radius²
+    (the `ed <= rn_` predicate, graph.hpp:803-808, compared square-vs-square
+    here so Spark and the numpy oracle agree bit-for-bit), weight = the
+    distance (or 1.0 with ``unit_weight``, the -w flag), plus
+    ``extra_edge_pct``% of n uniformly random extra edges with (0,1)
+    weights (the -p flag, graph.hpp:978-1164).
+
+    Scale shape: the reference compares each strip only against its up/down
+    ghost neighbors (1-D decomposition); the Spark analog is the standard
+    2-D grid-cell equi-join — each point joins only its own and 8 adjacent
+    radius-sized cells, one shuffle on the cell key, never an all-pairs
+    product.
+    """
+    r = rgg_default_radius(n) if radius is None else radius
+    pts = rgg_points(spark, n, seed)
+
+    def cell(c: Column) -> Column:
+        return F.floor(c / F.lit(r)).cast("long")
+
+    a = pts.select(
+        F.col("vid").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        pts.select(
+            F.col("vid").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            cell(F.col("x")).alias("bcx"), cell(F.col("y")).alias("bcy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "b", "bx", "by",
+            (F.col("bcx") + F.col("o.dx")).alias("cx"),
+            (F.col("bcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    w = F.lit(1.0) if unit_weight else F.sqrt(d2)
+    geo = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a") < F.col("b")) & (d2 <= F.lit(r * r)))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("weight"))
+    )
+    if extra_edge_pct <= 0.0:
+        return geo
+    k = int(extra_edge_pct * n / 100.0)
+    ridx = spark.range(k)
+    rnd = ridx.select(
+        F.pmod(F.xxhash64(F.lit(seed + 200), "id"), F.lit(n)).alias("u"),
+        F.pmod(F.xxhash64(F.lit(seed + 201), "id"), F.lit(n)).alias("v"),
+        (
+            F.pmod(F.xxhash64(F.lit(seed + 202), "id"), F.lit(1 << 30))
+            / F.lit(float(1 << 30))
+        ).alias("weight"),
+    )
+    rnd = (
+        rnd.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"), "weight"
+        )
+        .join(geo.select("src", "dst"), ["src", "dst"], "left_anti")
+        .dropDuplicates(["src", "dst"])
+    )
+    return geo.union(rnd)
