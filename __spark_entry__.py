@@ -250,6 +250,34 @@ def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_duplicate_groups(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_candidates(spark, sf_dir):
+    return dedup.simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_neardup_groups(spark, sf_dir):
+    # the end-to-end dedup op: LSH → Jaccard ≥ 0.8 verify → CC closure
+    return dedup.neardup_groups(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_exact_kept(spark, sf_dir):
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_weighted_pagerank_iter2(spark, sf_dir):
+    from tric_spark.operators.pagerank import weighted_pagerank
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    # deterministic per-direction weights derived from the edge ids, so the
+    # SQL oracle replays them exactly (no overflow: ids < 10^7)
+    dw = sym.withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5))).cast("double")
+    )
+    r = weighted_pagerank(dw, verts, d=0.85, tol=0.0, max_iter=2)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
@@ -327,6 +355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_groups": q_simhash_groups,
+        "simhash_candidates": q_simhash_candidates,
+        "neardup_groups": q_neardup_groups,
+        "dedup_exact_kept": q_dedup_exact_kept,
+        "weighted_pagerank_iter2": q_weighted_pagerank_iter2,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -684,15 +716,79 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN grams x ON x.doc_id = c.a JOIN grams y ON y.doc_id = c.b
         """,
         "simhash_groups": f"""
-            WITH {_TOKS},
-            d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
-            sig AS (
+            WITH {_TOKS}, {_GRAMS},
+            sig AS MATERIALIZED (
               SELECT doc_id, concat(
                 {','.join(_simhash_bit_sql(p) for p in range(8))}
-              ) AS sig FROM d
+              ) AS sig FROM grams
             )
             SELECT sig, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM sig GROUP BY sig HAVING count(*) > 1
+        """,
+        "simhash_candidates": f"""
+            WITH {_TOKS}, {_GRAMS},
+            sig AS MATERIALIZED (
+              SELECT doc_id, concat(
+                {','.join(_simhash_bit_sql(p) for p in range(32))}
+              ) AS sig FROM grams
+            )
+            SELECT DISTINCT a, b FROM (
+              {" UNION ALL ".join(
+                  f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y"
+                  f" ON substr(x.sig, {band * 8 + 1}, 8) = substr(y.sig, {band * 8 + 1}, 8)"
+                  for band in range(4)
+              )}
+            ) WHERE a < b
+        """,
+        "neardup_groups": f"""
+            WITH RECURSIVE {_TOKS}, {_GRAMS}, {_lsh_cand_sql()},
+            jac AS MATERIALIZED (
+              SELECT c.a, c.b
+              FROM cand c JOIN grams x ON x.doc_id = c.a JOIN grams y ON y.doc_id = c.b
+              WHERE round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                          / len(list_distinct(x.g || y.g)), 4) >= 0.8
+            ),
+            sp AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM jac UNION ALL SELECT b, a FROM jac
+            ),
+            r(vid, x) AS (
+              SELECT src, src FROM sp
+              UNION
+              SELECT s.dst, r.x FROM sp s JOIN r ON r.vid = s.src
+            )
+            SELECT vid AS doc_id, min(x) AS rep_id FROM r GROUP BY vid
+        """,
+        "dedup_exact_kept": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+            USING (doc_id)
+        """,
+        "weighted_pagerank_iter2": f"""
+            WITH {E},
+            nv AS (SELECT count(*) AS n FROM deg),
+            we AS MATERIALIZED (
+              SELECT src, dst, CAST(1 + (src*7 + dst*13) % 5 AS DOUBLE) AS w FROM sym
+            ),
+            wt AS MATERIALIZED (SELECT src AS vid, sum(w) AS wt FROM we GROUP BY src),
+            r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank FROM deg),
+            m1 AS (
+              SELECT e.dst AS vid, sum(e.w * (r.rank / t.wt)) AS s
+              FROM we e JOIN r0 r ON e.src = r.vid JOIN wt t ON t.vid = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT d.vid, 0.15/(SELECT n FROM nv) + 0.85*coalesce(m1.s, 0) AS rank
+              FROM deg d LEFT JOIN m1 ON m1.vid = d.vid
+            ),
+            m2 AS (
+              SELECT e.dst AS vid, sum(e.w * (r.rank / t.wt)) AS s
+              FROM we e JOIN r1 r ON e.src = r.vid JOIN wt t ON t.vid = e.src
+              GROUP BY e.dst
+            )
+            SELECT d.vid,
+                   round(0.15/(SELECT n FROM nv) + 0.85*coalesce(m2.s, 0), 6) AS rank
+            FROM deg d LEFT JOIN m2 ON m2.vid = d.vid
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -760,10 +856,11 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _simhash_bit_sql(p: int) -> str:
-    """One SimHash bit as SQL — must mirror tric_spark.operators.dedup.simhash."""
+def _simhash_bit_sql(p: int, src: str = "g") -> str:
+    """One SimHash bit as SQL over the shingle list column ``src`` — must
+    mirror tric_spark.operators.dedup.simhash."""
     return f"""
-      CASE WHEN list_sum(list_transform(dt,
+      CASE WHEN list_sum(list_transform({src},
              x -> CASE WHEN strpos('89abcdef', substr(md5(x), {p + 1}, 1)) > 0
                        THEN 1 ELSE -1 END)) >= 0
            THEN '1' ELSE '0' END

@@ -57,6 +57,8 @@ def test_lsh_is_selective_at_sf001(spark):
     n = docs.count()
     n_cand = dedup.lsh_candidate_pairs(docs).count()
     assert n_cand < 0.05 * n * (n - 1) / 2, n_cand
+    n_sim = dedup.simhash_candidates(docs).count()
+    assert n_sim < 0.05 * n * (n - 1) / 2, n_sim
 
 
 def test_mega_hub_graph_tc_fast(spark):

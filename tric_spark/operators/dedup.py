@@ -59,21 +59,27 @@ def shingles_col(ngram: int = 3) -> Column:
     )
 
 
-def _minhash_col(k: int, ngram: int = 3) -> Column:
-    """min over shingles of md5(shingle || '#k') — one permutation."""
-    return F.array_min(
-        F.transform(
-            shingles_col(ngram),
-            lambda t: F.md5(F.concat(t, F.lit(f"#{k}")).cast("binary")),
-        )
-    )
-
-
 def minhash_signatures(docs: DataFrame, k: int = 8, ngram: int = 3) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) — k-permutation MinHash signature over the
-    document's token ``ngram``-shingle set."""
-    return docs.select(
-        "doc_id", *[_minhash_col(i, ngram).alias(f"mh{i}") for i in range(k)]
+    document's token ``ngram``-shingle set.
+
+    Plan shape: shingles are built ONCE and exploded, then all k mins come
+    from one partially-aggregated groupBy. The naive per-column form
+    (k copies of array_min(transform(shingles, md5)))) re-builds the shingle
+    array k times — Catalyst's CollapseProject duplicates the subexpression
+    — measured 6× slower at k=16 on the sf0.1 corpus. The shingle array is
+    never empty (short docs shingle to [text]), so explode drops no docs.
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(shingles_col(ngram)).alias("s")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")).cast("binary"))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ]
     )
 
 
@@ -131,39 +137,83 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
+def neardup_groups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    ngram: int = 3,
+) -> DataFrame:
+    """(doc_id, rep_id) — end-to-end near-duplicate grouping: LSH candidate
+    pairs, exact n-gram Jaccard ≥ threshold verification, then connected
+    components over the verified-pair graph (near-dup similarity is not
+    transitive, so CC is the standard closure). rep_id = min doc_id of the
+    group; only docs in a group of size > 1 appear.
+
+    Scale shape: every stage is already bounded (banded LSH candidates,
+    per-candidate verify, hash-min CC over the sparse pair graph) — this is
+    the op a training pipeline actually runs to drop near-dups at 100 TB.
+    """
+    from tric_spark.operators.cc import connected_components
+
+    pairs = (
+        ngram_jaccard_pairs(docs, candidates, ngram)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b")
+    )
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    comp = connected_components(sym, verts)
+    return comp.select(F.col("vid").alias("doc_id"), F.col("comp").alias("rep_id"))
+
+
+def simhash(docs: DataFrame, bits: int = 8, ngram: int = 3) -> DataFrame:
     """(doc_id, sig) — SimHash signature as a '0'/'1' string of ``bits``
-    bits. Bit p is the sign of the token-set majority vote where each
-    token votes +1 iff hex digit p of md5(token) is >= 8 (its top bit).
+    bits (≤ 32: one md5 hex digit per bit). Bit p is the sign of the
+    shingle-set majority vote where each ``ngram``-shingle votes +1 iff hex
+    digit p of md5(shingle) is >= 8 (its top bit). Shingles, not tokens:
+    over the 31-word synthetic vocabulary token votes correlate so strongly
+    that banded candidates degenerate to 86% of all pairs (measured);
+    shingles bring the same bands to 1.6%.
 
-    8 bits default keeps the oracle SQL tractable; the Spark side accepts
-    any width. Near-dup detection = grouping by signature (Hamming-0) or
-    banding the signature for Hamming-k."""
-    toks = F.array_distinct(tokens_col())
-
-    def bit(p: int) -> Column:
-        vote = F.transform(
-            toks,
-            lambda t: F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.md5(t.cast("binary")), p + 1, 1)) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        s = F.aggregate(vote, F.lit(0), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return docs.select("doc_id", F.concat(*[bit(p) for p in range(bits)]).alias("sig"))
+    Plan shape: shingles exploded once, md5 computed once per shingle, all
+    ``bits`` votes in one partially-aggregated groupBy (the naive per-bit
+    column form rebuilds the shingle array `bits` times)."""
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits")
+    exploded = docs.select("doc_id", F.explode(shingles_col(ngram)).alias("s"))
+    hashed = exploded.select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", p + 1, 1)) > 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{p}")
+        for p in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    return agg.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(bits)
+            ]
+        ).alias("sig"),
+    )
 
 
 def simhash_candidates(
-    docs: DataFrame, bits: int = 16, bands: int = 4
+    docs: DataFrame, bits: int = 32, bands: int = 4, ngram: int = 3
 ) -> DataFrame:
     """(a, b) candidate pairs with small SimHash Hamming distance: the
     signature is split into ``bands`` contiguous bit-bands; any pair agreeing
     on at least one whole band is a candidate (catches Hamming distance
     < bands by pigeonhole). Same group-by-band scale shape as MinHash-LSH —
-    never a cross join."""
-    sig = simhash(docs, bits)
+    never a cross join. Defaults measured at 1.6% of all pairs on the
+    sf0.01 corpus."""
+    sig = simhash(docs, bits, ngram)
     width = bits // bands
     pair_sets = []
     for b in range(bands):
