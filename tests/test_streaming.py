@@ -41,3 +41,39 @@ def test_sliding_window(spark):
     tumb = windowed_event_counts(events, window="1 hour")
     # every event lands in exactly 2 sliding windows vs 1 tumbling window
     assert slid.groupBy().sum("n").collect()[0][0] == 2 * tumb.groupBy().sum("n").collect()[0][0]
+
+
+def test_stream_dedup_exact_matches_batch_keys(spark, tmp_path):
+    """Streaming exact dedup (watermark-bounded state) must keep exactly one
+    row per content hash — same key set as the batch dedup."""
+    from pyspark.sql import functions as F
+
+    from tric_spark.streaming.windows import stream_dedup_exact, with_text_hash
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    dup = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600)
+    staged = with_text_hash(docs.union(dup)).withColumn("ts", ts)
+    src_dir = str(tmp_path / "docs_src")
+    staged.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src_dir)
+    q = (
+        stream_dedup_exact(stream, late_threshold="1 hour")
+        .writeStream.format("memory")
+        .queryName("deduped_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select text_hash from deduped_docs").collect()
+    q.stop()
+
+    want = {r.text_hash for r in stream_dedup_exact(staged).select("text_hash").collect()}
+    assert len(got) == len(want)  # one survivor per key
+    assert {r.text_hash for r in got} == want
+    assert len(want) == 200  # the 20 clones were dropped

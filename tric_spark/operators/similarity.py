@@ -144,11 +144,39 @@ def ann_lsh_topk(
     )
 
 
+def _nearest_centroid(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cent_id) — assign every vector to its nearest centroid by
+    cosine via a broadcast join; ties break on cent_id."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+
+
+def lloyd_refine(assign: DataFrame) -> DataFrame:
+    """One Lloyd step: per-cell element-wise mean of the assigned vectors →
+    new (cent_id, cv) centroids. posexplode + two partial-aggregated
+    groupBys — no arrays ever collect to the driver."""
+    exploded = assign.select("cent_id", F.posexplode("v").alias("pos", "val"))
+    means = exploded.groupBy("cent_id", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cent_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) — IVF coarse quantizer.
 
@@ -159,12 +187,10 @@ def ivf_assignments(
     and only n_centroids rows ever reach one place — never the whole table
     through a single-partition window. Every vector is then assigned to its
     nearest centroid by cosine via a broadcast join (centroids are tiny; the
-    big table streams once). One Lloyd refinement would be
-    ``assignments.groupBy(cell).agg(avg per dim)`` — omitted: for ANN
-    bucketing the sampled quantizer suffices.
+    big table streams once). ``refine`` runs that many Lloyd steps
+    (per-cell mean → reassign), sharpening the quantizer; each step is two
+    bounded shuffles, localCheckpointed to keep lineage flat.
     """
-    from pyspark.sql import Window
-
     e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
     picked = (
         e.select("vec_id", "v", F.xxhash64(F.col("vec_id").cast("string")).alias("h"))
@@ -178,15 +204,10 @@ def ivf_assignments(
         picked.withColumn("cent_id", F.row_number().over(w))
         .select("cent_id", F.col("v").alias("cv"))
     )
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    assign = (
-        scored.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    assign = _nearest_centroid(e, cents)
+    for _ in range(refine):
+        cents = lloyd_refine(assign).localCheckpoint(eager=True)
+        assign = _nearest_centroid(e, cents)
     return cents, assign
 
 
@@ -198,14 +219,16 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int = 1,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
     centroid cells and ranks exactly within them. The scale path: candidate
     volume is n_probe/n_centroids of the corpus, and the quantizer is a
-    broadcast join — no full cross product."""
+    broadcast join — no full cross product. One Lloyd refinement by default
+    (``refine``)."""
     from pyspark.sql import Window
 
-    cents, assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    cents, assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col, refine)
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     q_cells = q.join(F.broadcast(cents)).select(
         "query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("sim")

@@ -68,3 +68,34 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_exact(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("text_hash",),
+    event_time_col: str = "ts",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key, with
+    state bounded by the watermark (``dropDuplicatesWithinWatermark``) —
+    the streaming form of the batch ``dedup.dedup_exact``.
+
+    This is the training-pipeline ingest shape: documents arriving as a
+    stream are deduped on a content hash without unbounded state — a key
+    seen again within the watermark window is dropped; after the watermark
+    passes, its state is evicted (re-arrivals later than the lateness bound
+    are by definition out of contract). On a static DataFrame this falls
+    back to a plain dropDuplicates on the same keys so batch and stream
+    stay one logical operator."""
+    docs = docs.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    if not docs.isStreaming:
+        return docs.dropDuplicates(list(key_cols))
+    return docs.withWatermark(event_time_col, late_threshold).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def with_text_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content hash column for streaming dedup — md5 (engine-portable,
+    matching the batch dedup family)."""
+    return docs.withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
