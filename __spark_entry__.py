@@ -146,6 +146,13 @@ def q_core_numbers(spark, sf_dir):
     return core_numbers(sym)
 
 
+def q_kcore2_edges(spark, sf_dir):
+    from tric_spark.operators.kcore import kcore_subgraph
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return kcore_subgraph(sym, k=2)
+
+
 def q_cc_hashmin_step1(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     nbr_min = sym.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("m"))
@@ -336,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_clustering": q_global_clustering,
         "graph_summary": q_graph_summary,
         "core_numbers": q_core_numbers,
+        "kcore2_edges": q_kcore2_edges,
         "cc_hashmin_step1": q_cc_hashmin_step1,
         "bfs_from_0": q_bfs_from_0,
         "cc_converged": q_cc_converged,
@@ -476,6 +484,27 @@ def _core_numbers_sql(rounds: int = 32) -> str:
     return f"WITH {E}, {', '.join(ctes)} SELECT vid, core FROM ({unions})"
 
 
+def _kcore_sql(k: int, rounds: int = 24) -> str:
+    """Fixed-k peeling to the fixpoint, unrolled (mirrors
+    kcore.kcore_subgraph): drop vertices with degree < k until stable;
+    extra rounds are no-ops. AS MATERIALIZED for the same exponential-
+    inlining reason as _core_numbers_sql."""
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"keep{i} AS MATERIALIZED (SELECT src AS v FROM e{p} GROUP BY src"
+            f" HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT src, dst FROM e{p}"
+            f" WHERE src IN (SELECT v FROM keep{i}) AND dst IN (SELECT v FROM keep{i}))"
+        )
+    return f"WITH {{E}}, {', '.join(ctes)} SELECT src, dst FROM e{rounds}".replace(
+        "{E}", E
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
@@ -530,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg
         """,
         "core_numbers": _core_numbers_sql(),
+        "kcore2_edges": _kcore_sql(2),
         "cc_hashmin_step1": f"""
             WITH {E}
             SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp
