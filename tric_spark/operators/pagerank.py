@@ -35,6 +35,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     driver: SuperstepDriver | None = None,
+    chain: int = 3,
 ) -> DataFrame:
     """(vid, rank) at convergence. ``directed`` is the directed link graph
     (src, dst); ``vertices`` the full vertex set (vid) — needed because
@@ -129,7 +130,7 @@ def pagerank(
         return cur
     for i in range(max_iter):
         cur = step(cur)
-        if has_dangling or (i + 1) % 3 == 0 or i == max_iter - 1:
+        if has_dangling or (i + 1) % chain == 0 or i == max_iter - 1:
             cur = cur.localCheckpoint(eager=True)
     return cur
 
