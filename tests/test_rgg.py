@@ -58,3 +58,24 @@ def test_rgg_determinism_across_parallelism(spark):
     a = synth.rgg_edges(spark, 200).repartition(2).orderBy("src", "dst").collect()
     b = synth.rgg_edges(spark, 200).repartition(16).orderBy("src", "dst").collect()
     assert a == b
+
+
+def test_rgg_cc_and_pagerank_cross_family(spark):
+    """Kernel diversity on a second graph family: CC on a geometric graph
+    (many small components at sub-connectivity radius) matches the python
+    oracle — the kernels aren't overfit to the Zipf web-graph fixtures."""
+    from oracles import cc_oracle
+
+    from tric_spark.operators.cc import connected_components
+
+    n = 300
+    r = synth.rgg_default_radius(n) * 0.6  # below connectivity → fragments
+    edges = synth.rgg_edges(spark, n, radius=r).select("src", "dst")
+    pairs = [(x.src, x.dst) for x in edges.collect()]
+    sym = graph.symmetrize(graph.canonical_edges(edges))
+    verts = graph.vertices(sym)
+    want = cc_oracle(pairs, {x.vid for x in verts.collect()})
+    got = {x.vid: x.comp for x in connected_components(sym, verts).collect()}
+    assert got == want
+    n_comps = len(set(want.values()))
+    assert n_comps > 3  # genuinely fragmented at 0.6×r_conn

@@ -111,7 +111,7 @@ def run_analytics(
         return SuperstepDriver(spark, os.path.join(checkpoint_dir, name))
 
     return {
-        "triangles_per_vertex": tc.triangles_per_vertex_adj(g.oriented),
+        "triangles_per_vertex": tc.triangles_per_vertex_adj2(g.oriented),
         "pagerank": pagerank(
             g.sym, g.verts, tol=pr_tol, max_iter=pr_max_iter, driver=drv("pagerank")
         ),
