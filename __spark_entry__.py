@@ -331,10 +331,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
-# rows-only checks (no closed-form SQL): approximate / convergent kernels
 def q_ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+# rows-only check (no closed-form SQL): convergent iterative kernel
 
 
 def q_pagerank_converged(spark, sf_dir):
@@ -897,6 +899,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # full IVF replay: md5-ordered centroid sample, cosine assignment,
+        # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
+        # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            picked AS MATERIALIZED (
+              SELECT vec_id, v, md5(vec_id::VARCHAR) AS h
+              FROM e ORDER BY h, vec_id LIMIT 16
+            ),
+            cents0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY h, vec_id) AS cent_id, v AS cv
+              FROM picked
+            ),
+            a0 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents0 c
+              ) WHERE rnk = 1
+            ),
+            m AS MATERIALIZED (
+              SELECT cent_id, i, avg(val) AS mv
+              FROM (SELECT cent_id, unnest(v) AS val,
+                           unnest(range(1, len(v) + 1)) AS i
+                    FROM a0)
+              GROUP BY cent_id, i
+            ),
+            cents1 AS MATERIALIZED (
+              SELECT cent_id, list(mv ORDER BY i) AS cv FROM m GROUP BY cent_id
+            ),
+            a1 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents1 c
+              ) WHERE rnk = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            probes AS MATERIALIZED (
+              SELECT query_id, qv, cent_id FROM (
+                SELECT q.query_id, q.qv, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id) AS rnk
+                FROM q, cents1 c
+              ) WHERE rnk <= 4
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+              FROM probes p JOIN a1 a
+                ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
     }
 

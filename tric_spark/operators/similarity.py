@@ -181,8 +181,9 @@ def ivf_assignments(
     """(centroids, assignments) — IVF coarse quantizer.
 
     Centroids are chosen deterministically (the ``n_centroids`` vectors with
-    smallest xxhash64(id) — a seedless uniform sample, same at any
-    parallelism) via ``orderBy(...).limit(n)``, which compiles to a
+    smallest md5(id) — a seedless uniform sample, same at any parallelism;
+    md5 rather than xxhash64 so the DuckDB oracle can replay the pick)
+    via ``orderBy(...).limit(n)``, which compiles to a
     distributed TakeOrderedAndProject: each partition keeps its local top-n
     and only n_centroids rows ever reach one place — never the whole table
     through a single-partition window. Every vector is then assigned to its
@@ -193,7 +194,7 @@ def ivf_assignments(
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
     picked = (
-        e.select("vec_id", "v", F.xxhash64(F.col("vec_id").cast("string")).alias("h"))
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"))
         .orderBy("h", "vec_id")
         .limit(n_centroids)
     )
