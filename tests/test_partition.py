@@ -129,3 +129,32 @@ def test_grid_layout_balances_hub_and_shows_grid_keys(spark):
     with contextlib.redirect_stdout(buf):
         layout.explain(mode="formatted")
     assert "_salt" in buf.getvalue()
+
+
+def test_salted_per_vertex_on_hub_graph(spark):
+    """Per-vertex flagship on the hub-split kernel: hub corner credit must
+    equal the number of leaf-chain triangles it participates in."""
+    canon = _hub_chain_graph(spark, n_leaves=2000)
+    got = {
+        r.vid: r.tc
+        for r in tc.triangles_per_vertex_adj2_salted(
+            canon, tau=500, num_salts=8
+        ).collect()
+    }
+    assert got[0] == 2000 - 1  # hub is in every triangle
+    assert got[1] == 1 and got[2000] == 1  # chain ends: one triangle each
+    assert got[1000] == 2  # interior chain vertex: two triangles
+    assert sum(got.values()) == 3 * (2000 - 1)
+
+
+def test_salted_per_vertex_matches_oracle_both_branches(spark):
+    from conftest import edges_df
+
+    pairs = er_graph(n=80, p_inv=8)
+    _, per = tc_oracle(pairs)
+    canon = graph.canonical_edges(edges_df(spark, pairs))
+    got = {
+        r.vid: r.tc
+        for r in tc.triangles_per_vertex_adj2_salted(canon, tau=4, num_salts=4).collect()
+    }
+    assert got == per

@@ -186,31 +186,10 @@ def _edges_with_adjacency(oriented: DataFrame) -> DataFrame:
 
 
 def triangles_per_vertex_adj(oriented: DataFrame) -> DataFrame:
-    """(vid, tc) via the CSR/Arrow kernel. Exact; matches the join path."""
-    import pyarrow as pa
-
-    ewa = _edges_with_adjacency(oriented)
-
-    def kernel(batches):
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            ia, va = _flatten_arrow(batch.column("src_nbrs"))
-            ib, vb = _flatten_arrow(batch.column("dst_nbrs"))
-            ei, wit = _intersect_pairs(ia, va, ib, vb)
-            if ei.size == 0:
-                continue
-            src = batch.column("src").to_numpy().astype(np.int64, copy=False)[ei]
-            dst = batch.column("dst").to_numpy().astype(np.int64, copy=False)[ei]
-            # map-side partial aggregation — the reference's local counters
-            # before MPI_Reduce (tric.hpp:215–216)
-            vids, cnts = np.unique(np.concatenate([src, dst, wit]), return_counts=True)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(vids, pa.int64()), pa.array(cnts.astype(np.int64), pa.int64())],
-                names=["vid", "partial"],
-            )
-
-    partials = ewa.mapInArrow(kernel, schema="vid long, partial long")
+    """(vid, tc) via the two-join CSR/Arrow kernel. Exact; matches the join
+    path. The per-batch corner-credit partials are the reference's local
+    counters before MPI_Reduce (tric.hpp:215–216)."""
+    partials = _per_vertex_two_sided(_edges_with_adjacency(oriented))
     return partials.groupBy("vid").agg(F.sum("partial").alias("tc"))
 
 
@@ -371,6 +350,76 @@ def triangle_count_adj2(oriented: DataFrame) -> int:
     partials = ewa.mapInArrow(kernel, schema="partial long")
     row = partials.agg(F.sum("partial").alias("tc")).collect()[0]
     return int(row["tc"] or 0)
+
+
+def _per_vertex_two_sided(ewa: DataFrame) -> DataFrame:
+    """(vid, partial) corner credits of |src_nbrs ∩ dst_nbrs| triangles over
+    a (src, dst, src_nbrs, dst_nbrs) layout — base src, base dst and the
+    witness each get +1, partially aggregated per batch."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ia, va = _flatten_arrow(batch.column("src_nbrs"))
+            ib, vb = _flatten_arrow(batch.column("dst_nbrs"))
+            ei, wit = _intersect_pairs(ia, va, ib, vb)
+            if ei.size == 0:
+                continue
+            src = batch.column("src").to_numpy().astype(np.int64, copy=False)[ei]
+            dst = batch.column("dst").to_numpy().astype(np.int64, copy=False)[ei]
+            vids, cnts = np.unique(np.concatenate([src, dst, wit]), return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vids, pa.int64()), pa.array(cnts.astype(np.int64), pa.int64())],
+                names=["vid", "partial"],
+            )
+
+    return ewa.mapInArrow(kernel, schema="vid long, partial long")
+
+
+def triangles_per_vertex_adj2_salted(
+    oriented: DataFrame, tau: int = 4096, num_salts: int = 8
+) -> DataFrame:
+    """(vid, tc) — per-vertex counts with the hub-split hybrid: the flagship
+    for inputs whose orientation leaves hubs with large out-degrees (see
+    :func:`triangle_count_adj2_salted`). Cold srcs reconstruct their own
+    adjacency in-batch; hub srcs take the 2-D grid path. Union of partials,
+    one final groupBy."""
+    import pyarrow as pa
+
+    adj = graph.adjacency(oriented)
+    hot = adj.filter(F.size("nbrs") > tau).select("src")
+    cold_e = oriented.join(F.broadcast(hot), "src", "left_anti")
+    hot_e = oriented.join(F.broadcast(hot), "src", "left_semi")
+
+    cold_ewa = _edges_with_dst_adjacency(cold_e, adj=adj)
+
+    def cold_kernel(batches):
+        blist = [b for b in batches if b.num_rows]
+        if blist:
+            tbl = pa.Table.from_batches(blist).combine_chunks()
+            src = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+            dst = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+            ia, va = _self_adjacency_flatten(src, dst)
+            ib, vb = _flatten_arrow(tbl.column("dst_nbrs").combine_chunks())
+            ei, wit = _intersect_pairs(ia, va, ib, vb)
+            if ei.size:
+                vids, cnts = np.unique(
+                    np.concatenate([src[ei], dst[ei], wit]), return_counts=True
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vids, pa.int64()), pa.array(cnts.astype(np.int64), pa.int64())],
+                    names=["vid", "partial"],
+                )
+
+    cold_partials = cold_ewa.mapInArrow(cold_kernel, schema="vid long, partial long")
+    hot_partials = _per_vertex_two_sided(_grid_layout_hot(hot_e, adj, num_salts))
+    return (
+        cold_partials.union(hot_partials)
+        .groupBy("vid")
+        .agg(F.sum("partial").alias("tc"))
+    )
 
 
 def _count_two_sided(ewa: DataFrame) -> DataFrame:
