@@ -61,6 +61,86 @@ def test_lsh_is_selective_at_sf001(spark):
     assert n_sim < 0.05 * n * (n - 1) / 2, n_sim
 
 
+def _dup_heavy_corpus(spark, n_families=10, copies=6):
+    """Crawl-shaped corpus: ``n_families`` distinct 40-token texts with
+    disjoint vocabularies (zero cross-family Jaccard), each exactly
+    duplicated ``copies`` times (>80% exact dups), plus one near-dup
+    (last token changed → shingle Jaccard 35/41 ≈ 0.854) for families 0/1."""
+    rows = []
+    for f in range(n_families):
+        text = " ".join(f"w{f}x{i}" for i in range(40))
+        for c in range(copies):
+            rows.append((f * 100 + c, text))
+        if f < 2:
+            rows.append((f * 100 + 50, text.rsplit(" ", 1)[0] + f" y{f}end"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_groups_dup_heavy_identical_to_unguarded(spark):
+    """VERDICT r2 #1: the exact-dedup pre-pass must not change results —
+    exact dups have Jaccard 1.0 with their representative, so the unguarded
+    path groups them identically. The pre-pass only removes the |dups|²
+    band-bucket pair bomb."""
+    docs = _dup_heavy_corpus(spark)
+    # unguarded path: explicit candidates bypass the pre-pass
+    old = {
+        (r.doc_id, r.rep_id)
+        for r in dedup.neardup_groups(
+            docs, candidates=dedup.lsh_candidate_pairs(docs)
+        ).collect()
+    }
+    new = {(r.doc_id, r.rep_id) for r in dedup.neardup_groups(docs).collect()}
+    assert new == old
+    # every exact-dup family is a group keyed by its min doc_id, even when
+    # its representative closed no near-dup pair
+    for f in range(10):
+        for c in range(6):
+            assert (f * 100 + c, f * 100) in new
+
+
+def test_neardup_candidate_volume_bounded_on_dup_heavy(spark):
+    """Raw-corpus LSH emits C(copies+,2) pairs per family; after the exact
+    pre-pass the representatives produce at most one candidate per family
+    (its near-dup partner)."""
+    docs = _dup_heavy_corpus(spark)
+    raw = dedup.lsh_candidate_pairs(docs).count()
+    assert raw >= 10 * 15  # every family contributes ≥ C(6,2) exact pairs
+    reps = dedup.dedup_exact(docs)
+    guarded = dedup.lsh_candidate_pairs(reps).count()
+    assert guarded <= 4  # ≤ the two planted near-dup pairs (+LSH noise)
+
+
+def test_banded_bucket_cap_audit(spark):
+    docs = _dup_heavy_corpus(spark)
+    audit: dict = {}
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket=3, audit=audit)
+    # every family's 6-copy bucket exceeds the cap in every band → skipped,
+    # surfaced in the audit, and the pair bomb does not detonate
+    assert audit["oversized_buckets"].count() >= 10
+    assert capped.count() < dedup.lsh_candidate_pairs(docs).count()
+    # clean corpus: no bucket over the cap, audit stays empty
+    clean = dedup.dedup_exact(docs)
+    audit2: dict = {}
+    dedup.lsh_candidate_pairs(clean, max_bucket=3, audit=audit2).count()
+    assert audit2["oversized_buckets"].count() == 0
+
+
+def test_simhash_and_embedding_bucket_caps(spark):
+    docs = _dup_heavy_corpus(spark)
+    audit: dict = {}
+    capped = dedup.simhash_candidates(docs, max_bucket=3, audit=audit)
+    assert audit["oversized_buckets"].count() >= 10
+    assert capped.count() < dedup.simhash_candidates(docs).count()
+
+    import pytest
+
+    from tric_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.embedding_neardup_pairs(emb, n_planes=30, n_bands=4).count()
+
+
 def test_mega_hub_graph_tc_fast(spark):
     """A 20k-leaf star + one triangle: degree orientation keeps the hub's
     out-degree at 0, so the wedge space stays tiny (the hub-blowup guard)."""

@@ -83,8 +83,56 @@ def minhash_signatures(docs: DataFrame, k: int = 8, ngram: int = 3) -> DataFrame
     )
 
 
+def banded_candidate_pairs(
+    banded_frames: list[DataFrame],
+    max_bucket: int | None = None,
+    audit: dict | None = None,
+) -> DataFrame:
+    """(a, b) distinct candidate pairs from a list of ``(id, band)`` frames
+    (one per band). Pairs are emitted only from within a bucket — the shared
+    banded-groupBy shape of every LSH family here; never a cross join.
+
+    ``max_bucket`` is the blowup guard: pair emission is |bucket|² within a
+    band cell, and real crawl corpora are 25–30% *exact* duplicates — 10⁶
+    identical docs share every band and one cell would emit 10¹² pairs.
+    Buckets holding more than ``max_bucket`` ids are skipped for pair
+    emission and surfaced (never silently): ``audit`` (any dict) receives
+    ``audit["oversized_buckets"]`` — a DataFrame ``(band_idx, band,
+    n_ids)`` of every skipped cell — so a pipeline operator can see the
+    dropped recall. Callers that cannot tolerate skips must remove the mass
+    upstream (exact dedup — see :func:`neardup_groups`, which does both).
+    """
+    pair_sets = []
+    oversized = []
+    for i, banded in enumerate(banded_frames):
+        if max_bucket is not None:
+            sizes = banded.groupBy("band").agg(F.count("*").alias("n_ids"))
+            big = sizes.filter(F.col("n_ids") > max_bucket)
+            oversized.append(big.select(F.lit(i).alias("band_idx"), "band", "n_ids"))
+            banded = banded.join(big.select("band"), "band", "left_anti")
+        left = banded.select(F.col("id").alias("a"), "band")
+        right = banded.select(F.col("id").alias("b"), "band")
+        pair_sets.append(
+            left.join(right, "band").filter(F.col("a") < F.col("b")).select("a", "b")
+        )
+    if audit is not None and oversized:
+        ov = oversized[0]
+        for o in oversized[1:]:
+            ov = ov.union(o)
+        audit["oversized_buckets"] = ov
+    out = pair_sets[0]
+    for p in pair_sets[1:]:
+        out = out.union(p)
+    return out.dropDuplicates(["a", "b"])
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 16, rows_per_band: int = 4, ngram: int = 3
+    docs: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    max_bucket: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """(a, b) candidate near-duplicate pairs: docs sharing at least one LSH
     band (band hash = md5 of ``rows_per_band`` concatenated minhashes).
@@ -94,24 +142,21 @@ def lsh_candidate_pairs(
     shingled signatures and 4-row bands a band collision needs Jaccard^4
     agreement — measured 25 candidates of 124,750 possible pairs (0.02%)
     on the sf0.01 corpus, vs 64% for the old single-token 2-row bands.
+    ``max_bucket``/``audit``: bucket-size blowup guard, see
+    :func:`banded_candidate_pairs`.
     """
     sig = minhash_signatures(docs, k, ngram)
     n_bands = k // rows_per_band
-    pair_sets = []
+    banded_frames = []
     for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        banded = sig.select(
-            "doc_id", F.md5(F.concat(*cols).cast("binary")).alias("band")
+        banded_frames.append(
+            sig.select(
+                F.col("doc_id").alias("id"),
+                F.md5(F.concat(*cols).cast("binary")).alias("band"),
+            )
         )
-        left = banded.select(F.col("doc_id").alias("a"), "band")
-        right = banded.select(F.col("doc_id").alias("b"), "band")
-        pair_sets.append(
-            left.join(right, "band").filter(F.col("a") < F.col("b")).select("a", "b")
-        )
-    out = pair_sets[0]
-    for p in pair_sets[1:]:
-        out = out.union(p)
-    return out.dropDuplicates(["a", "b"])
+    return banded_candidate_pairs(banded_frames, max_bucket, audit)
 
 
 def ngram_jaccard_pairs(
@@ -142,21 +187,62 @@ def neardup_groups(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     ngram: int = 3,
+    max_bucket: int | None = 100_000,
+    audit: dict | None = None,
 ) -> DataFrame:
-    """(doc_id, rep_id) — end-to-end near-duplicate grouping: LSH candidate
-    pairs, exact n-gram Jaccard ≥ threshold verification, then connected
-    components over the verified-pair graph (near-dup similarity is not
-    transitive, so CC is the standard closure). rep_id = min doc_id of the
-    group; only docs in a group of size > 1 appear.
+    """(doc_id, rep_id) — end-to-end near-duplicate grouping: exact-dedup
+    pre-pass, LSH candidate pairs over the exact-representatives, exact
+    n-gram Jaccard ≥ threshold verification, connected components over the
+    verified-pair graph (near-dup similarity is not transitive, so CC is the
+    standard closure), then exact-group members re-attached. rep_id = min
+    doc_id of the group; only docs in a group of size > 1 appear.
 
-    Scale shape: every stage is already bounded (banded LSH candidates,
-    per-candidate verify, hash-min CC over the sparse pair graph) — this is
-    the op a training pipeline actually runs to drop near-dups at 100 TB.
+    The exact pre-pass is mandatory at scale, not an optimization knob:
+    crawl corpora run 25–30% exact duplicates, and exact duplicates share
+    *every* band — LSH over the raw corpus turns each band cell into an
+    |dups|² pair bomb (the all-pairs blowup banding exists to prevent,
+    resurrected by skew; the reference shrinks its query sets the same way
+    with MapUniq, mbufastric.hpp:72–207). Output is IDENTICAL to the
+    unguarded form: members of an exact group have Jaccard 1.0 with their
+    representative, so the old path would place them in the same component,
+    and the component min over representatives equals the min over all
+    members (each representative is its group's min). ``max_bucket`` caps
+    residual band-bucket blowup among representatives (near-identical but
+    not byte-identical docs), with skipped cells surfaced via ``audit``
+    (see :func:`banded_candidate_pairs`).
+
+    Scale shape: every stage is bounded (hash groupBy pre-pass, banded LSH
+    candidates, per-candidate verify, hash-min CC over the sparse pair
+    graph) — this is the op a training pipeline actually runs at 100 TB.
+
+    An explicitly supplied ``candidates`` frame references raw doc_ids, so
+    it bypasses the pre-pass and runs the unguarded pipeline as before.
     """
     from tric_spark.operators.cc import connected_components
 
+    if candidates is None:
+        eq = docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+        groups = eq.groupBy("h").agg(
+            F.min("doc_id").alias("rep"), F.count("*").alias("n_exact")
+        )
+        member_rep = eq.join(groups, "h").select("doc_id", "rep", "n_exact")
+        reps = docs.join(
+            member_rep.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        candidates = lsh_candidate_pairs(
+            reps, ngram=ngram, max_bucket=max_bucket, audit=audit
+        )
+        verify_docs = reps
+    else:
+        member_rep = None
+        verify_docs = docs
+
     pairs = (
-        ngram_jaccard_pairs(docs, candidates, ngram)
+        ngram_jaccard_pairs(verify_docs, candidates, ngram)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b")
     )
@@ -165,7 +251,24 @@ def neardup_groups(
     )
     verts = sym.select(F.col("src").alias("vid")).distinct()
     comp = connected_components(sym, verts)
-    return comp.select(F.col("vid").alias("doc_id"), F.col("comp").alias("rep_id"))
+    rep_groups = comp.select(F.col("vid").alias("doc_id"), F.col("comp").alias("rep_id"))
+    if member_rep is None:
+        return rep_groups
+    # re-attach exact-group members: a member inherits its representative's
+    # component; an exact group whose representative closed no near-dup pair
+    # is itself a group (size > 1) with rep_id = its min doc_id
+    return (
+        member_rep.join(
+            rep_groups.withColumnRenamed("doc_id", "rep"), "rep", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(
+                "rep_id", F.when(F.col("n_exact") > 1, F.col("rep"))
+            ).alias("rep_id"),
+        )
+        .filter(F.col("rep_id").isNotNull())
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 8, ngram: int = 3) -> DataFrame:
@@ -205,30 +308,30 @@ def simhash(docs: DataFrame, bits: int = 8, ngram: int = 3) -> DataFrame:
 
 
 def simhash_candidates(
-    docs: DataFrame, bits: int = 32, bands: int = 4, ngram: int = 3
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """(a, b) candidate pairs with small SimHash Hamming distance: the
     signature is split into ``bands`` contiguous bit-bands; any pair agreeing
     on at least one whole band is a candidate (catches Hamming distance
     < bands by pigeonhole). Same group-by-band scale shape as MinHash-LSH —
     never a cross join. Defaults measured at 1.6% of all pairs on the
-    sf0.01 corpus."""
+    sf0.01 corpus. ``max_bucket``/``audit``: bucket-size blowup guard, see
+    :func:`banded_candidate_pairs`."""
     sig = simhash(docs, bits, ngram)
     width = bits // bands
-    pair_sets = []
-    for b in range(bands):
-        banded = sig.select(
-            "doc_id", F.substring("sig", b * width + 1, width).alias("band")
+    banded_frames = [
+        sig.select(
+            F.col("doc_id").alias("id"),
+            F.substring("sig", b * width + 1, width).alias("band"),
         )
-        left = banded.select(F.col("doc_id").alias("a"), "band")
-        right = banded.select(F.col("doc_id").alias("b"), "band")
-        pair_sets.append(
-            left.join(right, "band").filter(F.col("a") < F.col("b")).select("a", "b")
-        )
-    out = pair_sets[0]
-    for p in pair_sets[1:]:
-        out = out.union(p)
-    return out.dropDuplicates(["a", "b"])
+        for b in range(bands)
+    ]
+    return banded_candidate_pairs(banded_frames, max_bucket, audit)
 
 
 def simhash_duplicate_groups(docs: DataFrame, bits: int = 8) -> DataFrame:

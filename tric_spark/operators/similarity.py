@@ -265,41 +265,50 @@ def embedding_neardup_pairs(
     use_lsh: bool = True,
     n_planes: int = 32,
     n_bands: int = 4,
+    max_bucket: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine > threshold.
+
+    BEHAVIOR CHANGE (round 2): the default flipped from exact all-pairs to
+    LSH-approximate. At the defaults a cosine-0.95 pair is caught with ~90%
+    probability — callers needing exact recall must pass ``use_lsh=False``
+    explicitly (and accept the cross join that implies).
 
     Default (``use_lsh``): banded random-hyperplane LSH — the 32-bit
     signature is split into 4 contiguous 8-bit bands; any pair agreeing on
     at least one whole band is a candidate, verified with the exact cosine.
     Same banded-groupBy shape as MinHash LSH: each band is one groupBy
     cell, never a cross product. At the defaults a near-orthogonal pair
-    collides with probability ~4·2^-8 ≈ 1.6% while a cosine-0.95 pair is
-    caught with ~90% probability; widen bands (or add planes) to trade
-    recall for selectivity.
+    collides with probability ~4·2^-8 ≈ 1.6%; widen bands (or add planes)
+    to trade recall for selectivity. ``max_bucket``/``audit``: bucket-size
+    blowup guard — exact-duplicate embeddings share every band — see
+    :func:`tric_spark.operators.dedup.banded_candidate_pairs`.
 
     ``use_lsh=False`` is the exact all-pairs baseline: an explicit opt-in
     for oracle/test-scale use only (it executes a cross join).
     """
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if use_lsh:
+        if n_planes % n_bands != 0:
+            raise ValueError(
+                f"n_planes ({n_planes}) must be divisible by n_bands ({n_bands}) — "
+                "trailing planes would be silently ignored"
+            )
+        from tric_spark.operators.dedup import banded_candidate_pairs
+
         sig = e.withColumn("sig", hyperplane_signature(F.col("v"), n_planes))
         width = n_planes // n_bands
-        pair_sets = []
-        for band in range(n_bands):
-            banded = sig.select(
-                "id", "v", F.substring("sig", band * width + 1, width).alias("bucket")
+        banded_frames = [
+            sig.select(
+                "id", F.substring("sig", band * width + 1, width).alias("band")
             )
-            a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-            b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-            pair_sets.append(
-                a.join(b, "bucket")
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b", "va", "vb")
-            )
-        pairs = pair_sets[0]
-        for p in pair_sets[1:]:
-            pairs = pairs.union(p)
-        pairs = pairs.dropDuplicates(["a", "b"])
+            for band in range(n_bands)
+        ]
+        cand = banded_candidate_pairs(banded_frames, max_bucket, audit)
+        pairs = cand.join(
+            e.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
+        ).join(e.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
     else:
         a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
         b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
