@@ -336,12 +336,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
-# rows-only check (no closed-form SQL): convergent iterative kernel
-
-
 def q_pagerank_converged(spark, sf_dir):
+    """Convergence-mode kernel run to a tolerance far below the 6dp output
+    rounding (block-delta < 1e-13 puts the iterate within ~6e-13 of the
+    fixpoint by the 0.85-contraction), so the oracle's deep unrolled power
+    iteration — itself fixpoint to ~1e-17 after 220 rounds — rounds to the
+    same 6dp table. check_every=5 chains five lazy supersteps per
+    checkpoint+delta barrier."""
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
-    r = pagerank(sym, verts, tol=1e-8, max_iter=60)
+    r = pagerank(sym, verts, tol=1e-13, max_iter=250, check_every=5)
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
@@ -464,6 +467,20 @@ def _hyperplane_sig_sql(vexpr: str, n_planes: int = 8, seed: int = 42) -> str:
     return "concat(" + ", ".join(bit(p) for p in range(n_planes)) + ")"
 
 
+def _oracle_rounds(base: int) -> int:
+    """ADVICE r2: the peeling unroll depths are tuned at the sf0.01 gate;
+    a deeper graph under SPARK_GRAFT_ORACLE_SF may need more waves to reach
+    fixpoint (short unrolls fail the gate loudly but confusingly — missing
+    rows — rather than wrongly). Double the depth when the oracle runs at a
+    larger SF; extra rounds are no-ops on an already-empty edge table."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)/?$", os.environ.get("SPARK_GRAFT_ORACLE_SF", ""))
+    if m and float(m.group(1)) > 0.01:
+        return base * 2
+    return base
+
+
 def _core_numbers_sql(rounds: int = 32) -> str:
     """Batch peeling unrolled to ``rounds`` waves (sf0.01 needs 16; extra
     rounds are no-ops on an empty edge table). Mirrors
@@ -499,6 +516,35 @@ def _core_numbers_sql(rounds: int = 32) -> str:
         )
     unions = " UNION ALL ".join(f"SELECT vid, core FROM g{i}" for i in range(1, rounds + 1))
     return f"WITH {E}, {', '.join(ctes)} SELECT vid, core FROM ({unions})"
+
+
+def _pagerank_converged_sql(rounds: int = 220) -> str:
+    """Converged PageRank replay: power iteration unrolled to ``rounds``
+    materialized CTE waves (0.85^220 ≈ 3e-16 of the initial error — fixpoint
+    to well under the 6dp output rounding; the Spark side stops on
+    block-delta < 1e-13, within ~6e-13 of the same fixpoint, so both round
+    identically except on measure-zero boundary luck). The symmetric graph
+    has no dangling vertices and every vertex has in-links, so the
+    join+groupBy form keeps all vids. AS MATERIALIZED for the same
+    exponential-inlining reason as _core_numbers_sql."""
+    ctes = [
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM deg)",
+        "pr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nv) AS rank,"
+        " degree FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT m.vid, m.rank, d.degree FROM ("
+            f"SELECT s.dst AS vid,"
+            f" 0.15/(SELECT n FROM nv) + 0.85*sum(r.rank/r.degree) AS rank"
+            f" FROM sym s JOIN pr{p} r ON s.src = r.vid GROUP BY s.dst"
+            f") m JOIN deg d ON d.vid = m.vid)"
+        )
+    return (
+        f"WITH {E}, {', '.join(ctes)}"
+        f" SELECT vid, round(rank, 6) AS rank FROM pr{rounds}"
+    )
 
 
 def _kcore_sql(k: int, rounds: int = 24) -> str:
@@ -575,8 +621,9 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(degree), 6) AS avg_degree
             FROM deg
         """,
-        "core_numbers": _core_numbers_sql(),
-        "kcore2_edges": _kcore_sql(2),
+        "core_numbers": _core_numbers_sql(_oracle_rounds(32)),
+        "kcore2_edges": _kcore_sql(2, _oracle_rounds(24)),
+        "pagerank_converged": _pagerank_converged_sql(),
         "cc_hashmin_step1": f"""
             WITH {E}
             SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp

@@ -44,6 +44,54 @@ def test_pagerank_all_dangling(spark):
     assert np.allclose([got[i] for i in range(3)], oracle, atol=1e-6)
 
 
+def test_pagerank_dangling_chains_without_per_step_actions(spark, monkeypatch):
+    """VERDICT r2 #7: with the dangling mass folded into the step plan as a
+    broadcast 1-row aggregate, a dangling graph runs a chained block with
+    ≤1 driver action (the block's localCheckpoint) and zero collects."""
+    directed = [(0, 1), (1, 2), (2, 0), (0, 3)]  # vertex 3 is a sink
+    edges = edges_df(spark, directed)
+    verts = spark.range(4).withColumnRenamed("id", "vid")
+    # patch the concrete class (pyspark.sql.classic under Spark 4), not the
+    # pyspark.sql.DataFrame facade — instance lookups resolve to the subclass
+    DataFrame = type(edges)
+
+    calls = {"collect": 0, "ckpt": 0}
+    orig_collect, orig_ckpt = DataFrame.collect, DataFrame.localCheckpoint
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_ckpt(self, eager=True):
+        calls["ckpt"] += 1
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_ckpt)
+    result = pagerank(edges, verts, tol=0.0, max_iter=3, chain=3)
+    monkeypatch.undo()
+
+    assert calls["collect"] == 0  # dangling mass never hits the driver
+    assert calls["ckpt"] == 2  # init + exactly one per 3-step chained block
+
+    got = np.zeros(4)
+    for r in result.collect():
+        got[r.vid] = r.rank
+    assert np.allclose(got, pagerank_oracle(directed, 4, max_iter=3, tol=0.0), atol=1e-9)
+
+
+def test_pagerank_check_every_matches_per_step_convergence(spark):
+    """check_every>1 chains supersteps between delta checks; the returned
+    fixpoint is the same (it can only run further past convergence)."""
+    pairs = er_graph(n=40, p_inv=8)
+    directed = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs if (u + v) % 3]
+    edges = edges_df(spark, directed)
+    verts = spark.range(40).withColumnRenamed("id", "vid")
+    a = {r.vid: r.rank for r in pagerank(edges, verts, tol=1e-9).collect()}
+    b = {r.vid: r.rank for r in pagerank(edges, verts, tol=1e-9, check_every=4).collect()}
+    assert np.allclose([a[i] for i in range(40)], [b[i] for i in range(40)], atol=1e-8)
+
+
 def test_cc_two_cliques(spark):
     canon, sym, verts = _graph_tables(spark, TWO_K4)
     got = {r.vid: r.comp for r in connected_components(sym, verts).collect()}

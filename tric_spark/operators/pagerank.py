@@ -8,10 +8,12 @@ against a dense numpy oracle with allclose(atol=1e-6).
 Spark shape per superstep (the scale-critical part):
     contribs = ranks ⋈ edges on src  →  groupBy(dst).sum   (ONE shuffle)
 The edges side is hash-partitioned on src once and reused every superstep;
-ranks are small (one row per vertex, two columns). Dangling mass is a scalar
-aggregate (no shuffle of the big table). At 10^12 scale the ranks⋈edges join
-is shuffle-on-src co-located with the static edge partitioning, and AQE
-skew-join splits hub partitions.
+ranks are small (one row per vertex, two columns). Dangling mass is a 1-row
+aggregate folded INTO the step plan via a broadcast cross join — never a
+per-superstep driver collect — so supersteps stay fully lazy and chain even
+on dangling graphs. At 10^12 scale the ranks⋈edges join is shuffle-on-src
+co-located with the static edge partitioning, and AQE skew-join splits hub
+partitions.
 """
 
 from __future__ import annotations
@@ -36,12 +38,18 @@ def pagerank(
     max_iter: int = 100,
     driver: SuperstepDriver | None = None,
     chain: int = 3,
+    check_every: int = 1,
 ) -> DataFrame:
     """(vid, rank) at convergence. ``directed`` is the directed link graph
     (src, dst); ``vertices`` the full vertex set (vid) — needed because
     pages with no in-links still hold rank.
 
     ``driver``: optional checkpointing superstep driver for resumable runs.
+    ``check_every``: in convergence mode (tol > 0), chain this many lazy
+    supersteps between checkpoint+delta barriers; the stopping rule becomes
+    "delta across ``check_every`` steps < tol", which only ever runs extra
+    iterations (the multi-step delta upper-bounds each per-step delta), so
+    the returned iterate is at least as converged.
     """
     from tric_spark.graph import out_adjacency
 
@@ -57,21 +65,13 @@ def pagerank(
     out_deg = adj.select("vid", "out_deg")
 
     # dangling vertices detected ONCE — symmetric link graphs have none, and
-    # skipping the per-superstep anti-join+collect removes a driver barrier
-    # from every superstep (pure latency at any cluster size)
+    # the dangling branch of the step plan is skipped entirely for them
     has_dangling = adj.count() < n_b
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     state_schema = "vid long, rank double"
 
-    def step(ranks: DataFrame) -> DataFrame:
-        rk = ranks
-        # mass sitting on dangling vertices (no out-links) — redistributed
-        # uniformly; scalar aggregate via broadcast anti-join
-        dangling = (
-            rk.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if has_dangling else 0.0
+    def step(rk: DataFrame) -> DataFrame:
         contribs = (
             adj.join(rk, "vid")
             .select(
@@ -81,16 +81,25 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("in_mass"))
         )
-        base = (1.0 - d) / n + d * dangling / n
-        return (
-            ranks.select("vid")
-            .join(contribs, "vid", "left")
-            .select(
-                "vid",
-                (F.lit(base) + F.lit(d) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+        new = rk.select("vid").join(contribs, "vid", "left")
+        if has_dangling:
+            # mass sitting on dangling vertices (no out-links), redistributed
+            # uniformly — a 1-row aggregate broadcast into the plan, NOT a
+            # driver collect: the step stays fully lazy, so dangling graphs
+            # chain supersteps exactly like dangling-free ones (the identical
+            # rk subplan feeding both branches is deduplicated by Spark's
+            # exchange reuse within the one action that runs the chain)
+            dang = (
+                rk.join(out_deg, "vid", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            new = new.crossJoin(F.broadcast(dang))
+            base = F.lit((1.0 - d) / n) + F.lit(d) * F.col("_dm") / F.lit(n)
+        else:
+            base = F.lit((1.0 - d) / n)
+        return new.select(
+            "vid",
+            (base + F.lit(d) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank"),
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
@@ -114,15 +123,21 @@ def pagerank(
     # with iterations and Catalyst analysis cost/driver heap explode long
     # before the data does. The materialization is also a driver barrier
     # (the non-scaling term of a superstep), so fixed-iteration mode chains
-    # 3 supersteps lazily per checkpoint: 3× fewer barriers, bounded plans.
-    # Chaining only pays when steps are fully lazy: with dangling vertices
-    # each step's dangling-mass collect() is itself a barrier that would
-    # re-execute every uncheckpointed step in the chain (quadratic
-    # recompute), so the dangling path checkpoints every superstep.
+    # `chain` supersteps lazily per checkpoint — 3× fewer barriers, bounded
+    # plans — and convergence mode chains `check_every` steps per
+    # checkpoint+delta. Steps are fully lazy even on dangling graphs (the
+    # dangling mass is an in-plan broadcast aggregate), so both modes chain
+    # unconditionally.
     cur = ranks.localCheckpoint(eager=True)
     if tol > 0:
-        for _ in range(max_iter):
-            nxt = step(cur).localCheckpoint(eager=True)
+        done = 0
+        while done < max_iter:
+            block = min(check_every, max_iter - done)
+            nxt = cur
+            for _ in range(block):
+                nxt = step(nxt)
+            nxt = nxt.localCheckpoint(eager=True)
+            done += block
             dl = delta(cur, nxt)
             cur = nxt
             if dl < tol:
@@ -130,7 +145,7 @@ def pagerank(
         return cur
     for i in range(max_iter):
         cur = step(cur)
-        if has_dangling or (i + 1) % chain == 0 or i == max_iter - 1:
+        if (i + 1) % chain == 0 or i == max_iter - 1:
             cur = cur.localCheckpoint(eager=True)
     return cur
 
@@ -163,10 +178,6 @@ def weighted_pagerank(
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
 
     def step(rk: DataFrame) -> DataFrame:
-        dangling = (
-            rk.join(out_vids, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if has_dangling else 0.0
         contribs = (
             w_adj.join(rk, "vid")
             .select(
@@ -180,13 +191,20 @@ def weighted_pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("in_mass"))
         )
-        base = (1.0 - d) / n + d * dangling / n
-        return (
-            vertices.join(contribs, "vid", "left")
-            .select(
-                "vid",
-                (F.lit(base) + F.lit(d) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
+        new = vertices.join(contribs, "vid", "left")
+        if has_dangling:
+            # in-plan broadcast 1-row dangling aggregate (no driver collect)
+            dang = (
+                rk.join(out_vids, "vid", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            new = new.crossJoin(F.broadcast(dang))
+            base = F.lit((1.0 - d) / n) + F.lit(d) * F.col("_dm") / F.lit(n)
+        else:
+            base = F.lit((1.0 - d) / n)
+        return new.select(
+            "vid",
+            (base + F.lit(d) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
         )
 
     cur = ranks.localCheckpoint(eager=True)
@@ -237,26 +255,31 @@ def personalized_pagerank(
     ranks = vert_e.select("vid", F.col("e").alias("rank"))
 
     def step(rk: DataFrame) -> DataFrame:
-        dangling = (
-            rk.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if has_dangling else 0.0
         contribs = (
             adj.join(rk, "vid")
             .select(F.explode("nbrs").alias("vid"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("in_mass"))
         )
-        return (
-            vert_e.join(contribs, "vid", "left")
-            .select(
-                "vid",
-                (
-                    F.lit(1.0 - d) * F.col("e")
-                    + F.lit(d)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling) * F.col("e"))
-                ).alias("rank"),
+        new = vert_e.join(contribs, "vid", "left")
+        if has_dangling:
+            # dangling mass teleports to the seeds — in-plan broadcast 1-row
+            # aggregate, no driver collect
+            dang = (
+                rk.join(out_deg, "vid", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            new = new.crossJoin(F.broadcast(dang))
+            dm = F.col("_dm")
+        else:
+            dm = F.lit(0.0)
+        return new.select(
+            "vid",
+            (
+                F.lit(1.0 - d) * F.col("e")
+                + F.lit(d)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dm * F.col("e"))
+            ).alias("rank"),
         )
 
     cur = ranks.localCheckpoint(eager=True)
