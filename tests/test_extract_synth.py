@@ -72,11 +72,67 @@ def test_jvm_href_twin_byte_equality(spark):
         '<a href="">empty</a><a data-href="https://no/3">skip</a>',
         '<ahref="https://no/4">not-a-tag</a>',
         '<a id="k" href="https://x/5">c</a> text <a href=\'https://x/6\'>c</a>',
+        # ADVICE r2: non-ASCII whitespace inside the tag — Python's \s is
+        # Unicode-aware, so the JVM twin needs (?U) to agree
+        '<a href="https://x/7">nbsp</a>',
+        '<a class="q" href="https://x/8">em-space</a>',
+        '<a　href="https://x/9">ideographic</a>',
     ]
     df = spark.createDataFrame([(t,) for t in tricky], "html string")
     got = [list(r.l) for r in df.select(outlinks_jvm().alias("l")).collect()]
     want = [extract_outlinks(t) for t in tricky]
     assert got == want, list(zip(got, want))
+
+
+TRICKY_TEXT = [
+    "<html><TITLE> Shouty </TITLE><P>case <B>folds</B></P></html>",
+    "<title>a</title><title>b</title><p>first title wins</p>",
+    "<p>no title at all</p><p>  </p><p>\t\n</p>",
+    "<title>   </title><p>ws-only title drops</p>",
+    "<p class='x'\nattr>multi\nline</p>",
+    "<p> nbsp padded </p><p>　ideographic　pad　</p>",
+    "<p> line-sep para-sep</p>",
+    "<p>unclosed stays out",
+    "<html>no paragraphs</html>",
+    "<p>a<p>nested open</p>b</p><p>tail</p>",
+    "<p>keep &amp; entities &#160; raw</p>",
+]
+
+
+def test_jvm_text_twin_byte_equality(spark):
+    """VERDICT r2 #3: the JVM full-text twin (the default 100-TB path every
+    textstats/dedup consumer sits on) must reproduce the pinned extractor
+    byte-for-byte — synth corpus plus adversarial snippets including
+    Unicode whitespace and case."""
+    from tric_spark.extract import extracted_text_jvm
+
+    pages = synth.pages_table(spark, n_pages=300, seed=42)
+    rows = pages.select("url", "html", extracted_text_jvm().alias("jvm_text")).collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r.jvm_text == extract_text(bytes(r.html)), r.url
+
+    df = spark.createDataFrame([(t,) for t in TRICKY_TEXT], "html string")
+    got = [r.t for r in df.select(extracted_text_jvm().alias("t")).collect()]
+    want = [extract_text(t) for t in TRICKY_TEXT]
+    assert got == want, list(zip(got, want))
+
+
+def test_with_extracted_default_plan_has_no_python(spark):
+    """with_extracted defaults to the JVM twins — the full extraction stage
+    (text + outlinks) must stay inside whole-stage codegen."""
+    import contextlib
+    import io
+
+    pages = synth.pages_table(spark, n_pages=50, seed=42)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_extracted(pages).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # the UDF fallback path still carries the pinned extractor
+    ext = with_extracted(pages, jvm=False).select("text", "extracted_text").collect()
+    assert all(r.extracted_text == r.text for r in ext)
 
 
 def test_outlink_edges_default_plan_has_no_python(spark):

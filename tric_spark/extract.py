@@ -68,17 +68,55 @@ extract_outlinks_udf = F.pandas_udf(
 )
 
 
-def with_extracted(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """Add ``extracted_text`` and ``outlinks`` columns."""
-    return pages.withColumn(
-        "extracted_text", extract_text_udf(F.col(html_col))
-    ).withColumn("outlinks", extract_outlinks_udf(F.col(html_col)))
+def with_extracted(pages: DataFrame, html_col: str = "html", jvm: bool = True) -> DataFrame:
+    """Add ``extracted_text`` and ``outlinks`` columns.
+
+    Full-text extraction feeds every textstats/dedup consumer, so the
+    default is the JVM ``regexp`` twin of the pinned extractor
+    (byte-equality-tested against it, incl. Unicode whitespace/case
+    adversaries) — the whole stage runs inside whole-stage codegen with no
+    Python workers at 100 TB. ``jvm=False`` routes through the pinned
+    pandas-UDF extractor itself (the invariant-bearing reference path)."""
+    text = extracted_text_jvm(html_col) if jvm else extract_text_udf(F.col(html_col))
+    links = outlinks_jvm(html_col) if jvm else extract_outlinks_udf(F.col(html_col))
+    return pages.withColumn("extracted_text", text).withColumn("outlinks", links)
 
 
-# JVM twin of _HREF_RE: (?s) for re.S, (?i) for re.I; the pattern body is
-# identical and byte-equality against the pinned extractor is asserted on
-# the synth corpus (tests/test_extract_synth.py)
-_HREF_PATTERN_JVM = """(?si)<a\\s[^>]*?href=["']([^"']*)["']"""
+# JVM twins of the pinned regexes: (?s) for re.S, (?i) for re.I, and (?U)
+# (UNICODE_CHARACTER_CLASS, which implies UNICODE_CASE) because Java's \s
+# and case folding are ASCII-only by default while Python's re is
+# Unicode-aware — without it a NBSP inside an <a> tag extracts differently
+# (ADVICE r2). Pattern bodies are identical and byte-equality against the
+# pinned extractor is asserted on the synth corpus plus adversarial
+# snippets (tests/test_extract_synth.py). Envelope: both sides assume the
+# html bytes are valid UTF-8 (the JVM cast and Python's errors="replace"
+# only diverge on malformed sequences).
+_HREF_PATTERN_JVM = """(?siU)<a\\s[^>]*?href=["']([^"']*)["']"""
+_TITLE_PATTERN_JVM = "(?siU)<title[^>]*>(.*?)</title>"
+_P_PATTERN_JVM = "(?siU)<p[^>]*>(.*?)</p>"
+_TAG_PATTERN_JVM = "<[^>]+>"
+# Python str.strip() removes the Unicode whitespace set; Java's (?U)\s is
+# the same set ([\t-\r\x1c-\x1f\x85] + \p{Z}), unlike String.trim()
+_TRIM_PATTERN_JVM = "(?U)^\\s+|\\s+$"
+
+
+def extracted_text_jvm(html_col: str = "html"):
+    """Extracted text as a JVM-side column expression — the whole-stage-
+    codegen twin of :func:`extract_text`: first <title> content, then each
+    <p> content, inner tags stripped, parts trimmed, empties dropped,
+    joined with "\\n". A missing title and an empty/whitespace-only title
+    both reduce to "" and are dropped by the empty filter — exactly the
+    pinned extractor's behavior."""
+    s = F.col(html_col).cast("string")
+    title = F.regexp_extract(s, _TITLE_PATTERN_JVM, 1)
+    paras = F.regexp_extract_all(s, F.lit(_P_PATTERN_JVM), F.lit(1))
+    cleaned = F.transform(
+        F.concat(F.array(title), paras),
+        lambda p: F.regexp_replace(
+            F.regexp_replace(p, _TAG_PATTERN_JVM, ""), _TRIM_PATTERN_JVM, ""
+        ),
+    )
+    return F.array_join(F.filter(cleaned, lambda p: p != F.lit("")), "\n")
 
 
 def outlinks_jvm(html_col: str = "html"):
