@@ -31,6 +31,47 @@ def test_reader_decodes_header(tmp_path):
     assert os.path.getsize(KARATE) == 16 + 35 * 8 + 156 * 16
 
 
+def test_distributed_reader_matches_local_on_karate(spark):
+    from tric_spark.sources.binary_csr import read_binary_csr_distributed
+
+    src, dst, w = read_binary_csr_local(KARATE)
+    want = sorted(zip(src.tolist(), dst.tolist(), w.tolist()))
+    for n_chunks in (1, 3, 8, 64):  # 64 > nv exercises the clamp
+        got = sorted(
+            (r.src, r.dst, r.weight)
+            for r in read_binary_csr_distributed(spark, KARATE, n_chunks).collect()
+        )
+        assert got == want, n_chunks
+
+
+def test_distributed_reader_multi_mb_file(spark, tmp_path):
+    """VERDICT r2 #5: a generated multi-MB CSR file loads identically
+    through the parallel byte-range reader and the local decoder."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    nv, m = 50_000, 400_000
+    u = rng.randint(0, nv, size=m).astype(np.int64)
+    v = rng.randint(0, nv, size=m).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    w = rng.rand(src.size)
+    path = str(tmp_path / "big.bin")
+    write_binary_csr_local(path, src, dst, w, nv=nv)
+    assert os.path.getsize(path) > 8 * 1024 * 1024
+
+    ls, ld, lw = read_binary_csr_local(path)
+    order = np.lexsort((lw, ld, ls))
+    df = read_binary_csr(spark, path)
+    assert df.rdd.getNumPartitions() > 1  # actually parallel
+    got = df.toPandas().sort_values(["src", "dst", "weight"], ignore_index=True)
+    assert (got["src"].to_numpy() == ls[order]).all()
+    assert (got["dst"].to_numpy() == ld[order]).all()
+    assert np.array_equal(got["weight"].to_numpy(), lw[order])
+
+
 # property: for ANY undirected graph, write→read→TC == oracle TC
 edge_lists = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),

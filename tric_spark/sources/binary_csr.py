@@ -71,12 +71,65 @@ def write_binary_csr_local(
         edges.tofile(f)
 
 
+def read_binary_csr_distributed(
+    spark: SparkSession, path: str, n_chunks: int | None = None
+) -> DataFrame:
+    """Parallel reader for the reference binary CSR format: the vertex space
+    is split into ``n_chunks`` contiguous ranges and each task performs the
+    reference's per-rank slab reads itself (graph.hpp:373–434: header, its
+    offsets slab at ``16 + lo·8``, then its edge slab at
+    ``header + offsets + off[lo]·16``) — edges never materialize on the
+    driver; the only driver IO is the 16-byte header.
+
+    Chunking is by vertex range (the reference's default ownership,
+    graph.hpp:124–158); a pathologically skewed file would want the
+    balanced ``-b`` split by edge count instead (binary-searching the
+    offsets slab for the chunk boundaries — same task-side read pattern).
+    ``path`` must be visible to every executor (local FS here; a shared
+    store at production scale)."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        nv, _ne = struct.unpack("<qq", f.read(16))
+    if nv == 0:
+        return spark.createDataFrame([], schema=EDGE_SCHEMA)
+    if n_chunks is None:
+        n_chunks = int(spark.sparkContext.defaultParallelism)
+    n_chunks = max(1, min(int(n_chunks), int(nv)))
+    edge_base = 16 + (nv + 1) * 8
+    edge_dtype = np.dtype([("tail", "<i8"), ("w", "<f8")])
+
+    def reader(batches):
+        for batch in batches:
+            for cid in batch.column("id").to_pylist():
+                lo = cid * nv // n_chunks
+                hi = (cid + 1) * nv // n_chunks  # exclusive
+                if hi <= lo:
+                    continue
+                with open(path, "rb") as f:
+                    f.seek(16 + lo * 8)
+                    offsets = np.fromfile(f, dtype="<i8", count=hi - lo + 1)
+                    cnt = int(offsets[-1] - offsets[0])
+                    if cnt == 0:
+                        continue
+                    f.seek(edge_base + int(offsets[0]) * 16)
+                    edges = np.fromfile(f, dtype=edge_dtype, count=cnt)
+                src = np.repeat(np.arange(lo, hi, dtype=np.int64), np.diff(offsets))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(src, pa.int64()),
+                        pa.array(edges["tail"].astype(np.int64), pa.int64()),
+                        pa.array(edges["w"].astype(np.float64), pa.float64()),
+                    ],
+                    names=["src", "dst", "weight"],
+                )
+
+    chunks = spark.range(0, n_chunks, 1, n_chunks)
+    return chunks.mapInArrow(reader, schema="src long not null, dst long not null, weight double not null")
+
+
 def read_binary_csr(spark: SparkSession, path: str) -> DataFrame:
     """Load a reference binary CSR file as an ``edges`` DataFrame
     ``(src long, dst long, weight double)`` — symmetric directed form,
-    exactly as stored."""
-    src, dst, w = read_binary_csr_local(path)
-    import pandas as pd
-
-    pdf = pd.DataFrame({"src": src, "dst": dst, "weight": w})
-    return spark.createDataFrame(pdf, schema=EDGE_SCHEMA)
+    exactly as stored. Delegates to the distributed byte-range reader."""
+    return read_binary_csr_distributed(spark, path)
