@@ -99,6 +99,29 @@ def test_salted_tc_kernel_exact_on_hub_graph(spark):
     # blowup is exactly what the hybrid avoids
 
 
+def test_salted_tc_auto_tau_loads_both_branches(spark):
+    """VERDICT r2 #8: with tau=None the hybrid derives its threshold from
+    the degree distribution (c·√m) — on an id-oriented hub graph the hub
+    lands above the derived τ (grid path) while every chain src stays below
+    (self-adjacency path), with no hand-tuning."""
+    canon = _hub_chain_graph(spark)
+    tau = tc.derive_tau(canon)
+    m = canon.count()
+    assert 64 <= tau < 20_000  # between the chain degrees and the hub
+    assert tau >= int(m**0.5)
+    adj = graph.adjacency(canon)
+    hot_srcs = adj.filter(F.size("nbrs") > tau).count()
+    cold_edges = canon.join(
+        adj.filter(F.size("nbrs") > tau).select("src"), "src", "left_anti"
+    ).count()
+    assert hot_srcs >= 1 and cold_edges >= 1  # both branches carry load
+    assert tc.triangle_count_adj2_salted(canon) == 4000 - 1
+    pv = {
+        r.vid: r.tc for r in tc.triangles_per_vertex_adj2_salted(canon).collect()
+    }
+    assert pv[0] == 4000 - 1  # the hub closes every triangle
+
+
 def test_salted_tc_both_branches_on_er_graph(spark):
     """tau small enough that many srcs go hot — both branches carry load."""
     from conftest import edges_df

@@ -52,6 +52,11 @@ def test_rgg_extra_edges_and_weights(spark):
     bad = ew.filter((F.col("weight") <= 0) | (F.col("weight") > r)).count()
     assert bad == 0
     assert synth.rgg_edges(spark, n).filter(F.col("weight") != 1.0).count() == 0
+    # ADVICE r2: extra-edge weights live in the OPEN interval (0,1) like the
+    # reference's unif(0,1) draw — exactly-0.0 must be unreachable
+    extras = withx.filter(F.col("weight") != 1.0)
+    assert extras.count() == n_extra
+    assert extras.filter((F.col("weight") <= 0) | (F.col("weight") >= 1)).count() == 0
 
 
 def test_rgg_determinism_across_parallelism(spark):

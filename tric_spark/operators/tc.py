@@ -378,16 +378,36 @@ def _per_vertex_two_sided(ewa: DataFrame) -> DataFrame:
     return ewa.mapInArrow(kernel, schema="vid long, partial long")
 
 
+def derive_tau(oriented: DataFrame, c: float = 2.0, floor: int = 64) -> int:
+    """Hub threshold for the split kernels, from the degree distribution:
+    ``max(floor, ⌈c·√m⌉)``. Degree orientation bounds every out-degree by
+    O(√m) (each of the m edges orients toward the higher-degree endpoint,
+    so an out-degree above √(2m) is impossible) — any src above c·√m is
+    therefore a hub that *survived* orientation (id-oriented inputs, the
+    reference's global_i<j<k mode) and belongs on the 2-D grid path, while
+    everything below keeps the self-adjacency path's per-task width
+    bounded. One count() of the already-derived edge table; no quantile
+    scan."""
+    import math
+
+    m = oriented.count()
+    return max(floor, int(math.ceil(c * math.sqrt(max(m, 1)))))
+
+
 def triangles_per_vertex_adj2_salted(
-    oriented: DataFrame, tau: int = 4096, num_salts: int = 8
+    oriented: DataFrame, tau: int | None = None, num_salts: int = 8
 ) -> DataFrame:
     """(vid, tc) — per-vertex counts with the hub-split hybrid: the flagship
     for inputs whose orientation leaves hubs with large out-degrees (see
     :func:`triangle_count_adj2_salted`). Cold srcs reconstruct their own
     adjacency in-batch; hub srcs take the 2-D grid path. Union of partials,
-    one final groupBy."""
+    one final groupBy. ``tau=None`` derives the threshold from the degree
+    distribution (:func:`derive_tau`) so the hybrid engages without
+    hand-tuning on id-oriented inputs."""
     import pyarrow as pa
 
+    if tau is None:
+        tau = derive_tau(oriented)
     adj = graph.adjacency(oriented)
     hot = adj.filter(F.size("nbrs") > tau).select("src")
     cold_e = oriented.join(F.broadcast(hot), "src", "left_anti")
@@ -479,7 +499,7 @@ def _grid_layout_hot(hot_edges: DataFrame, adj: DataFrame, num_salts: int) -> Da
 
 
 def triangle_count_adj2_salted(
-    oriented: DataFrame, tau: int = 4096, num_salts: int = 8
+    oriented: DataFrame, tau: int | None = None, num_salts: int = 8
 ) -> int:
     """Global exact TC, hub-split hybrid: srcs with out-degree ≤ tau ride
     the self-adjacency kernel (cheapest shuffle); srcs above tau — the hubs
@@ -492,7 +512,11 @@ def triangle_count_adj2_salted(
     Degree orientation already bounds out-degree by O(√m), making this
     hybrid rarely needed after `orient_by_degree`; it exists for inputs
     oriented by id (the reference's global_i < j < k mode,
-    inbufastric.hpp:192) where hubs survive orientation."""
+    inbufastric.hpp:192) where hubs survive orientation. ``tau=None``
+    derives the threshold from the degree distribution
+    (:func:`derive_tau`)."""
+    if tau is None:
+        tau = derive_tau(oriented)
     adj = graph.adjacency(oriented)
     hot = adj.filter(F.size("nbrs") > tau).select("src")
     cold_e = oriented.join(F.broadcast(hot), "src", "left_anti")

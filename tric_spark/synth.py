@@ -161,8 +161,12 @@ def rgg_edges(
     (the `ed <= rn_` predicate, graph.hpp:803-808, compared square-vs-square
     here so Spark and the numpy oracle agree bit-for-bit), weight = the
     distance (or 1.0 with ``unit_weight``, the -w flag), plus
-    ``extra_edge_pct``% of n uniformly random extra edges with (0,1)
-    weights (the -p flag, graph.hpp:978-1164).
+    ``extra_edge_pct``% of n uniformly random extra edges with weights in
+    the OPEN interval (0,1) like the reference's unif(0,1) draw (the -p
+    flag, graph.hpp:978-1164; the hash is mapped (h+1)/(2³⁰+1) so 0.0 is
+    unreachable). Self-loop/duplicate collisions shrink the extra-edge
+    count slightly below the requested pct without re-draw — a documented
+    divergence from GenerateRGG, which retries.
 
     Scale shape: the reference compares each strip only against its up/down
     ghost neighbors (1-D decomposition); the Spark analog is the standard
@@ -214,8 +218,8 @@ def rgg_edges(
         F.pmod(F.xxhash64(F.lit(seed + 200), "id"), F.lit(n)).alias("u"),
         F.pmod(F.xxhash64(F.lit(seed + 201), "id"), F.lit(n)).alias("v"),
         (
-            F.pmod(F.xxhash64(F.lit(seed + 202), "id"), F.lit(1 << 30))
-            / F.lit(float(1 << 30))
+            (F.pmod(F.xxhash64(F.lit(seed + 202), "id"), F.lit(1 << 30)) + F.lit(1))
+            / F.lit(float((1 << 30) + 1))
         ).alias("weight"),
     )
     rnd = (
