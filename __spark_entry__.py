@@ -93,6 +93,10 @@ def q_wedge_count(spark, sf_dir):
 
 
 def q_triangle_count_join(spark, sf_dir):
+    # id-oriented probe = the documented reference-semantics variant
+    # (global_i<j<k): wedge volume is O(Σdeg²) on hubs, so this and
+    # _pruned run at oracle scale only — the scale kernels (adj/adj2/
+    # salted) take degree orientation
     canon, *_ = _graph_tables(spark, sf_dir)
     return _scalar(tc.triangle_count_join(canon), spark, "tc")
 
