@@ -73,10 +73,20 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
 
     times: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        times[name] = round(time.time() - t0, 3)
+    def timed(name, fn, repeat=2):
+        """best-of-``repeat`` steady-state timing (same methodology as
+        --scaling, documented in BENCH.md): the first execution of a plan
+        pays one-time Janino codegen + JIT costs that a long-lived job
+        amortizes to nothing and that this shared box turns into ±2-7 s of
+        per-query noise; the min of two runs measures the operator.
+        Inputs are cached; the kernels recompute fully on every run."""
+        out, best = None, None
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
         return out
 
     # warm-up: spin up Python workers + JIT once so per-query timings
@@ -157,6 +167,7 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
         "metric": "link_graph_bench_total_sec",
         "value": total,
         "unit": "sec",
+        "timing": "best_of_2_steady_state (graph_build single-run)",
         "r1_comparable_subset_sec": r1_subset,
         "queries": times,
         "sf": _sf_of(sf_dir),
