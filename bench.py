@@ -261,13 +261,31 @@ def main() -> None:
         def loadavg() -> float:
             return os.getloadavg()[0]
 
+        def wait_quiet() -> float:
+            """Load-gate EACH phase, not just the start: a measured run had
+            co-tenants arrive between the 2-core and 8-core phases (0.1 →
+            6.9), deflating 'efficiency' to 0.54 on code that measures
+            0.89 quiet. Waits up to SPARK_GRAFT_LOAD_WAIT s (default 900)
+            for 1-min loadavg ≤ SPARK_GRAFT_LOAD_GATE (default 2.0), then
+            proceeds regardless (recorded per-phase either way)."""
+            gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+            deadline = time.time() + float(
+                os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900")
+            )
+            while loadavg() > gate and time.time() < deadline:
+                time.sleep(20)
+            return loadavg()
+
         def run_isolated(cores: int) -> dict:
+            start_load = wait_quiet()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-job", str(cores), str(n_pages)],
                 capture_output=True, text=True, check=True,
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["phase_loadavg_start"] = round(start_load, 1)
+            return r
 
         load_before = loadavg()
         low = run_isolated(low_c)
@@ -301,7 +319,9 @@ def main() -> None:
                 f"| {high_c} (4N) | {high['tc_sec']} | {high['tc_teps']} | {high['pr5_sec']} | {high['elapsed_sec']} |\n\n"
                 f"Efficiency {low_c}→{high_c} (4× cores): TC **{eff_tc:.3f}**, "
                 f"PR5 **{eff_pr:.3f}**, composite **{eff:.3f}** "
-                f"(north-rule target ≥ 0.8 for N→4N)\n"
+                f"(north-rule target ≥ 0.8 for N→4N). Per-phase start "
+                f"loads (gated ≤ 2.0): N={low['phase_loadavg_start']}, "
+                f"4N={high['phase_loadavg_start']}\n"
             )
         return
 

@@ -141,6 +141,51 @@ def test_simhash_and_embedding_bucket_caps(spark):
         similarity.embedding_neardup_pairs(emb, n_planes=30, n_bands=4).count()
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random corpora: a few base texts over a small shared vocabulary (so
+# shingles can collide), each family duplicated 1–4×, optionally with a
+# mutated tail copy — arbitrary exact/near-dup mixtures
+_corpus = st.lists(
+    st.tuples(
+        st.lists(st.integers(0, 19), min_size=6, max_size=14),  # token ids
+        st.integers(1, 4),  # exact copies
+        st.booleans(),  # add a near-dup (last token swapped)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fams=_corpus)
+def test_property_neardup_prepass_identity(spark, fams):
+    """For ANY duplication pattern, neardup_groups with the exact-dedup
+    pre-pass returns exactly what the unguarded path returns."""
+    rows, nid = [], 0
+    for toks, copies, near in fams:
+        text = " ".join(f"w{t}" for t in toks)
+        for _ in range(copies):
+            rows.append((nid, text))
+            nid += 1
+        if near:
+            rows.append((nid, " ".join(f"w{t}" for t in toks[:-1]) + " zq"))
+            nid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = {
+        (r.doc_id, r.rep_id)
+        for r in dedup.neardup_groups(
+            docs, threshold=0.6, candidates=dedup.lsh_candidate_pairs(docs)
+        ).collect()
+    }
+    guarded = {
+        (r.doc_id, r.rep_id)
+        for r in dedup.neardup_groups(docs, threshold=0.6).collect()
+    }
+    assert guarded == unguarded
+
+
 def test_mega_hub_graph_tc_fast(spark):
     """A 20k-leaf star + one triangle: degree orientation keeps the hub's
     out-degree at 0, so the wedge space stays tiny (the hub-blowup guard)."""

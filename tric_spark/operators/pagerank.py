@@ -156,11 +156,14 @@ def weighted_pagerank(
     d: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
+    chain: int = 3,
 ) -> DataFrame:
     """(vid, rank) — PageRank where u distributes rank ∝ edge weight:
     contribution to v is r(u)·w(u,v)/Σ_x w(u,x). Input: (src, dst, weight)
     directed edges. Same superstep shape as the unweighted kernel — the
-    weighted adjacency (vid, [(nbr, w/Σw)]) is cached once."""
+    weighted adjacency (vid, [(nbr, w/Σw)]) is cached once; fixed-iteration
+    mode chains ``chain`` lazy supersteps per checkpoint like
+    :func:`pagerank` (steps are fully lazy: dangling mass is in-plan)."""
     w_adj = (
         directed_w.groupBy(F.col("src").alias("vid"))
         .agg(
@@ -208,9 +211,9 @@ def weighted_pagerank(
         )
 
     cur = ranks.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nxt = step(cur).localCheckpoint(eager=True)
-        if tol > 0:
+    if tol > 0:
+        for _ in range(max_iter):
+            nxt = step(cur).localCheckpoint(eager=True)
             dl = (
                 cur.withColumnRenamed("rank", "old_rank")
                 .join(nxt, "vid")
@@ -220,8 +223,11 @@ def weighted_pagerank(
             cur = nxt
             if dl < tol:
                 break
-        else:
-            cur = nxt
+        return cur
+    for i in range(max_iter):
+        cur = step(cur)
+        if (i + 1) % chain == 0 or i == max_iter - 1:
+            cur = cur.localCheckpoint(eager=True)
     return cur
 
 
@@ -232,10 +238,13 @@ def personalized_pagerank(
     d: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
+    chain: int = 3,
 ) -> DataFrame:
     """(vid, rank) — PageRank with teleportation restricted to ``sources``
-    (uniform over the seed set). Dangling mass also teleports to the seeds.
-    The standard seed-relevance ranking for link graphs."""
+    (uniform over the seed set). Dangling mass also teleports to the seeds
+    (in-plan broadcast aggregate — steps are fully lazy, so fixed-iteration
+    mode chains ``chain`` supersteps per checkpoint). The standard
+    seed-relevance ranking for link graphs."""
     from tric_spark.graph import out_adjacency
 
     n_src = sources.count()
@@ -283,9 +292,9 @@ def personalized_pagerank(
         )
 
     cur = ranks.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nxt = step(cur).localCheckpoint(eager=True)
-        if tol > 0:
+    if tol > 0:
+        for _ in range(max_iter):
+            nxt = step(cur).localCheckpoint(eager=True)
             dl = (
                 cur.withColumnRenamed("rank", "old_rank")
                 .join(nxt, "vid")
@@ -295,6 +304,9 @@ def personalized_pagerank(
             cur = nxt
             if dl < tol:
                 break
-        else:
-            cur = nxt
+        return cur
+    for i in range(max_iter):
+        cur = step(cur)
+        if (i + 1) % chain == 0 or i == max_iter - 1:
+            cur = cur.localCheckpoint(eager=True)
     return cur
