@@ -99,6 +99,11 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
             yield pa.RecordBatch.from_arrays([pa.array([b.num_rows])], names=["n"])
 
     spark.range(1000).selectExpr("id as src").mapInArrow(_noop, "n long").count()
+    # plan-shape warm-up: run the graph build once at 1/25 scale so the
+    # single-run full-size graph_build below measures the build (scan +
+    # dedupe + groupBy + orient joins), not first-compile of those plans
+    for df in build_graph(spark, 2000)[:4]:
+        df.unpersist()
 
     # extraction pipeline: html → outlinks → edge rows (pandas UDF path)
     n_extract = min(n_pages, 20_000)  # extraction sample: UDF throughput probe
