@@ -292,10 +292,32 @@ def main() -> None:
             r["phase_loadavg_start"] = round(start_load, 1)
             return r
 
+        # Alternating trials with per-level best-of: the 8-core phase needs
+        # 8 idle cores, so a co-tenant burst that barely dents the 2-core
+        # phase crushes it (measured: 8-core TC 82/103/143 s across runs
+        # while 2-core stayed ~200 s) — min over alternating trials is the
+        # closest observable to the uncontended machine at each level.
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1"))
         load_before = loadavg()
-        low = run_isolated(low_c)
-        high = run_isolated(high_c)
+        lows, highs = [], []
+        for _ in range(trials):
+            lows.append(run_isolated(low_c))
+            highs.append(run_isolated(high_c))
         load_after = loadavg()
+
+        def best(rs: list[dict]) -> dict:
+            b = dict(rs[0])
+            for r in rs[1:]:
+                for k in ("elapsed_sec", "tc_sec", "pr5_sec"):
+                    b[k] = min(b[k], r[k])
+            b["elapsed_sec"] = round(b["tc_sec"] + b["pr5_sec"], 3)
+            b["teps"] = round(b["n_edges_directed"] / b["elapsed_sec"])
+            b["tc_teps"] = round(b["n_edges_directed"] / b["tc_sec"])
+            b["n_trials"] = len(rs)
+            b["trial_tc_secs"] = [r["tc_sec"] for r in rs]
+            return b
+
+        low, high = best(lows), best(highs)
         assert low["triangles"] == high["triangles"]
         ratio = high_c / low_c
         eff = (low["elapsed_sec"] / high["elapsed_sec"]) / ratio
