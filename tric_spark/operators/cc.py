@@ -25,8 +25,19 @@ def connected_components(
     vertices: DataFrame,
     max_iter: int = 200,
     driver: SuperstepDriver | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
-    """(vid, comp) at fixpoint. ``sym_edges`` must hold both directions."""
+    """(vid, comp) at fixpoint. ``sym_edges`` must hold both directions.
+
+    ``check_every``: chain this many lazy supersteps per checkpoint +
+    signature barrier. Safe for hash-min (labels only decrease, so a
+    fixpoint reached mid-block stays fixed and the block-end comparison
+    still detects it); convergence detection lags by at most
+    ``check_every - 1`` no-op supersteps inside one lazy block. Default 1
+    (the CC step references its input twice, so chained steps recompute
+    part of the inner plan — a wash at local scale); raise it on
+    high-latency clusters where the per-superstep barrier, not the
+    recompute, is the non-scaling term."""
     from tric_spark.graph import out_adjacency
 
     comps = vertices.withColumn("comp", F.col("vid"))
@@ -81,12 +92,31 @@ def connected_components(
             state_schema="vid long, comp long",
         )
 
+    # per block of `check_every` lazy supersteps: ONE checkpoint + ONE
+    # signature aggregate (the previous block's signature is remembered,
+    # not recomputed — the old loop paid 3 driver actions per superstep)
     cur = comps.localCheckpoint(eager=True)
-    for i in range(max_iter):
-        nxt = step(cur).localCheckpoint(eager=True)
-        if converged(cur, nxt, i):
-            return nxt
-        cur = nxt
+    prev_sig = _sig(cur)
+    done = 0
+    while done < max_iter:
+        block = min(check_every, max_iter - done)
+        nxt = cur
+        for _ in range(block):
+            nxt = step(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
+        done += block
+        new_sig = _sig(nxt)
+        if new_sig == prev_sig:
+            # candidate fixpoint (signature can collide) — confirm exactly
+            changed = (
+                cur.withColumnRenamed("comp", "old_comp")
+                .join(nxt, "vid")
+                .filter(F.col("comp") != F.col("old_comp"))
+                .count()
+            )
+            if changed == 0:
+                return nxt
+        cur, prev_sig = nxt, new_sig
     return cur
 
 
