@@ -48,6 +48,13 @@ def test_cli_per_vertex_out(spark, tmp_path):
     assert r["per_vertex_out"] == out
 
 
+def test_cli_approx(spark):
+    # p=1.0 keeps every edge: the estimate is exact and deterministic
+    r = _run(spark, ["-f", KARATE, "--approx", "1.0"])
+    assert r["triangles"] == 45.0
+    assert r["variant"] == "approx(p=1.0)"
+
+
 def test_cli_requires_options(spark):
     with pytest.raises(SystemExit, match="Must specify some options."):
         _run(spark, [])

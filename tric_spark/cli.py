@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variant", choices=("adj2", "adj", "join", "salted"),
                    default="adj2",
                    help="physical TC kernel (default: self-adjacency)")
+    p.add_argument("--approx", type=float, default=None, metavar="P",
+                   help="DOULION edge-sampling approximate count with keep "
+                        "probability P — the honest counterpart of the "
+                        "reference's probabilistic Bloom variants 14/16/17 "
+                        "(which over-count; exact stays the default)")
     p.add_argument("--per-vertex", action="store_true",
                    help="also compute per-vertex counts")
     p.add_argument("--out", metavar="DIR",
@@ -122,7 +127,9 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         oriented = graph.orient_by_degree(canon, deg)
 
         t0 = time.time()
-        if args.variant == "adj2":
+        if args.approx is not None:
+            tri = tc.triangle_count_approx(oriented, p=args.approx)
+        elif args.variant == "adj2":
             tri = tc.triangle_count_adj2(oriented)
         elif args.variant == "adj":
             tri = tc.triangle_count_adj(oriented)
@@ -133,13 +140,14 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             tri = tc.triangle_count_join(oriented, deg=deg)
         elapsed = time.time() - t0
 
+        approx = args.approx is not None
         result = {
             # the reference's result sink fields (main.cpp:248–261)
-            "triangles": int(tri),
+            "triangles": round(float(tri), 2) if approx else int(tri),
             "time_sec": round(elapsed, 3),
             "teps": round(2 * m / elapsed) if elapsed > 0 else None,
             "n_edges_directed": 2 * m,
-            "variant": args.variant,
+            "variant": f"approx(p={args.approx})" if approx else args.variant,
         }
         if args.per_vertex or args.out:
             pv = tc.triangles_per_vertex_adj2(oriented)

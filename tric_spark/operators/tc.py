@@ -206,6 +206,10 @@ def triangle_count_approx(
     We keep EXACT as the default everywhere; this operator is the honest
     probabilistic counterpart — explicitly approximate, never the default.
     """
+    if p >= 1.0:
+        # keep-everything degenerates to the exact count (and p·2^63 would
+        # overflow the Java long literal)
+        return float(triangle_count_adj(oriented))
     threshold = int(p * (2**63))
     sampled = oriented.filter(
         F.abs(F.xxhash64("src", "dst", F.lit(seed))) < F.lit(threshold)
