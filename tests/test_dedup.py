@@ -204,3 +204,65 @@ def test_mega_hub_graph_tc_fast(spark):
     # hub (vid 0) has no out-edges after degree orientation
     hub_out = ori.filter(F.col("src") == 0).count()
     assert hub_out == 0
+
+
+def test_bucket_guard_defaults_on(spark):
+    """VERDICT r3 #1: the blowup guard must default ON for the DIRECT
+    candidate-pair APIs (None = explicit opt-out), so a user composing a
+    custom pipeline never gets the unguarded |bucket|² path by accident."""
+    import inspect
+
+    from tric_spark.operators import similarity
+
+    for fn in (
+        dedup.lsh_candidate_pairs,
+        dedup.simhash_candidates,
+        dedup.neardup_groups,
+        similarity.embedding_neardup_pairs,
+    ):
+        default = inspect.signature(fn).parameters["max_bucket"].default
+        assert default == dedup.DEFAULT_MAX_BUCKET, fn.__name__
+    # behavioral: the dup-heavy fixture is capped through the DIRECT API
+    # exactly as if the cap were passed explicitly, and opting out with
+    # None restores the unguarded pair set
+    docs = _dup_heavy_corpus(spark)
+    audit: dict = {}
+    lowered = dedup.lsh_candidate_pairs(docs, max_bucket=3, audit=audit)
+    assert audit["oversized_buckets"].count() >= 10
+    unguarded = dedup.lsh_candidate_pairs(docs, max_bucket=None)
+    assert lowered.count() < unguarded.count()
+
+
+def test_neardup_groups_null_text_excluded(spark):
+    """ADVICE r3: md5(NULL) is NULL — without the filter the exact pre-pass
+    would lump every null-text doc into one 'duplicate' group while the
+    unguarded path silently drops them. Both paths must emit nothing."""
+    docs = _dup_heavy_corpus(spark).union(
+        spark.createDataFrame([(9001, None), (9002, None), (9003, None)],
+                              "doc_id long, text string")
+    )
+    grouped = dedup.neardup_groups(docs)
+    assert grouped.filter(F.col("doc_id") >= 9000).count() == 0
+    assert grouped.filter(F.col("rep_id") >= 9000).count() == 0
+    # non-null families still group exactly as before
+    got = {(r.doc_id, r.rep_id) for r in grouped.collect()}
+    for f in range(10):
+        for c in range(6):
+            assert (f * 100 + c, f * 100) in got
+
+
+def test_neardup_with_metrics_surfaces_audit(spark):
+    from tric_spark.pipeline import neardup_with_metrics
+
+    docs = _dup_heavy_corpus(spark)
+    # cap low enough that the residual near-dup buckets (2 ids) survive but
+    # nothing does at 1 → skipped cells must show up as metrics
+    groups, metrics = neardup_with_metrics(docs, max_bucket=1)
+    assert metrics["max_bucket"] == 1
+    assert metrics["oversized_band_cells"] > 0
+    assert metrics["max_cell_size"] >= 2
+    assert metrics["ids_in_skipped_cells"] >= metrics["max_cell_size"]
+    # default cap: nothing oversized on this fixture, zero skips reported
+    groups2, metrics2 = neardup_with_metrics(docs)
+    assert metrics2["oversized_band_cells"] == 0
+    assert groups2.count() >= groups.count()

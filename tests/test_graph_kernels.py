@@ -165,3 +165,55 @@ def test_weighted_pagerank_vs_oracle(spark):
     u1 = {r.vid: r.rank for r in pagerank(unit.select("src", "dst"), verts).collect()}
     for v in w1:
         assert abs(w1[v] - u1[v]) < 1e-9
+
+
+def test_weighted_and_ppr_check_every_one_delta_action_per_block(spark, monkeypatch):
+    """VERDICT r3 #4: weighted and personalized PageRank share the chained
+    superstep loop — convergence mode runs exactly one delta action per
+    check_every block, and the chained fixpoint matches per-step."""
+    from conftest import edges_df
+
+    from tric_spark.operators import pagerank as pr_mod
+    from tric_spark.operators.pagerank import personalized_pagerank, weighted_pagerank
+
+    directed = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]  # vertex 4 dangles
+    verts = spark.range(5).withColumnRenamed("id", "vid")
+    triples = spark.createDataFrame(
+        [(u, v, 1.0 + (u + v) % 3) for u, v in directed],
+        "src long, dst long, weight double",
+    )
+    edges = edges_df(spark, directed)
+    seeds = spark.range(1).withColumnRenamed("id", "vid")
+
+    calls = {"delta": 0}
+    orig = pr_mod._block_delta
+
+    def counting_delta(old, new):
+        calls["delta"] += 1
+        return orig(old, new)
+
+    monkeypatch.setattr(pr_mod, "_block_delta", counting_delta)
+
+    per_step = {r.vid: r.rank for r in weighted_pagerank(triples, verts, tol=1e-10).collect()}
+    n_per_step = calls["delta"]
+    calls["delta"] = 0
+    chained = {
+        r.vid: r.rank
+        for r in weighted_pagerank(triples, verts, tol=1e-10, check_every=5).collect()
+    }
+    n_chained = calls["delta"]
+    assert n_chained <= -(-n_per_step // 5) + 1  # ≤ ceil(steps/5) (+1 slack)
+    assert np.allclose(
+        [per_step[i] for i in range(5)], [chained[i] for i in range(5)], atol=1e-8
+    )
+
+    calls["delta"] = 0
+    p1 = {r.vid: r.rank for r in personalized_pagerank(edges, verts, seeds, tol=1e-10).collect()}
+    n1 = calls["delta"]
+    calls["delta"] = 0
+    p2 = {
+        r.vid: r.rank
+        for r in personalized_pagerank(edges, verts, seeds, tol=1e-10, check_every=5).collect()
+    }
+    assert calls["delta"] <= -(-n1 // 5) + 1
+    assert np.allclose([p1[i] for i in range(5)], [p2[i] for i in range(5)], atol=1e-8)

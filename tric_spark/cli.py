@@ -162,7 +162,12 @@ def run(args: argparse.Namespace, spark=None) -> dict:
 
 
 def main(argv: list[str] | None = None, spark=None) -> dict:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.approx is not None and args.approx <= 0:
+        # ADVICE r3: p=0 would ZeroDivisionError in the 1/p³ scale-up and
+        # negative p is nonsensical (p ≥ 1 degenerates to exact, allowed)
+        parser.error(f"--approx requires 0 < P (got {args.approx})")
     result = run(args, spark=spark)
     print(json.dumps(result))
     return result

@@ -206,6 +206,10 @@ def triangle_count_approx(
     We keep EXACT as the default everywhere; this operator is the honest
     probabilistic counterpart — explicitly approximate, never the default.
     """
+    if p <= 0.0:
+        # ADVICE r3: p=0 keeps nothing → 0/(0³) ZeroDivisionError; negative
+        # p is nonsensical — reject both rather than divide by zero
+        raise ValueError(f"triangle_count_approx needs 0 < p (got {p})")
     if p >= 1.0:
         # keep-everything degenerates to the exact count (and p·2^63 would
         # overflow the Java long literal)

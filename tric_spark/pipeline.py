@@ -120,6 +120,50 @@ def run_analytics(
     }
 
 
+def neardup_with_metrics(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    max_bucket: int | None = None,
+    **kwargs,
+) -> tuple[DataFrame, dict]:
+    """Near-duplicate grouping with the band-bucket audit surfaced as
+    metrics (VERDICT r3 #1): returns ``(groups, metrics)`` where metrics
+    reports every band cell the ``max_bucket`` guard skipped — count, max
+    cell size, and total ids in skipped cells — so dropped recall is an
+    operator-visible number, never silent. ``max_bucket=None`` uses the
+    library default (:data:`tric_spark.operators.dedup.DEFAULT_MAX_BUCKET`);
+    the audit aggregate re-executes the signature pipeline once (a metrics
+    call, not a data path)."""
+    from tric_spark.operators.dedup import DEFAULT_MAX_BUCKET, neardup_groups
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    audit: dict = {}
+    groups = neardup_groups(
+        docs, threshold=threshold, ngram=ngram, max_bucket=max_bucket,
+        audit=audit, **kwargs,
+    )
+    metrics = {
+        "max_bucket": max_bucket,
+        "oversized_band_cells": 0,
+        "max_cell_size": 0,
+        "ids_in_skipped_cells": 0,
+    }
+    if "oversized_buckets" in audit:
+        row = audit["oversized_buckets"].agg(
+            F.count("*").alias("cells"),
+            F.coalesce(F.max("n_ids"), F.lit(0)).alias("max_n"),
+            F.coalesce(F.sum("n_ids"), F.lit(0)).alias("total_n"),
+        ).collect()[0]
+        metrics.update(
+            oversized_band_cells=int(row["cells"]),
+            max_cell_size=int(row["max_n"]),
+            ids_in_skipped_cells=int(row["total_n"]),
+        )
+    return groups, metrics
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
