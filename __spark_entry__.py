@@ -285,6 +285,21 @@ def q_neardup_groups(spark, sf_dir):
     return dedup.neardup_groups(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_stream_neardup_batch(spark, sf_dir):
+    """Batch form of the streaming near-dup operator (the unified
+    batch/stream contract — the SAME logical plan runs watermarked on a
+    stream; stream==batch tested in test_streaming.py). Event time is
+    synthesized deterministically from doc_id (the driver documents table
+    carries none); every doc falls inside one join window here, so the
+    time condition is exercised but not selective."""
+    from tric_spark.streaming.neardup import stream_neardup_candidates
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 120)
+    )
+    return stream_neardup_candidates(docs).select("a", "b", "band_idx")
+
+
 def q_dedup_exact_kept(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -385,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "stream_neardup_batch": q_stream_neardup_batch,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_groups": q_simhash_groups,
         "simhash_candidates": q_simhash_candidates,
@@ -805,6 +821,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}
             SELECT a, b FROM cand
+        """,
+        "stream_neardup_batch": f"""
+            WITH {_TOKS}, {_GRAMS},
+            sig AS MATERIALIZED (
+              SELECT doc_id, {", ".join(_lsh_band_sql(b) for b in range(4))}
+              FROM grams
+            )
+            SELECT DISTINCT a, b, band_idx FROM (
+              {" UNION ALL ".join(
+                  f"SELECT x.doc_id AS a, y.doc_id AS b, CAST({b} AS INTEGER) AS band_idx"
+                  f" FROM sig x JOIN sig y ON x.band{b} = y.band{b}"
+                  f" AND x.doc_id < y.doc_id"
+                  f" AND abs((x.doc_id % 120) - (y.doc_id % 120)) <= 600"
+                  for b in range(4)
+              )}
+            )
         """,
         "ngram_jaccard": f"""
             WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}

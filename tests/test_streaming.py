@@ -77,3 +77,49 @@ def test_stream_dedup_exact_matches_batch_keys(spark, tmp_path):
     assert len(got) == len(want)  # one survivor per key
     assert {r.text_hash for r in got} == want
     assert len(want) == 200  # the 20 clones were dropped
+
+
+def test_stream_neardup_candidates_match_batch(spark, tmp_path):
+    """VERDICT r3 #8: streaming near-dup candidates (watermark-bounded
+    band self-join) must produce the same candidate-pair set as the batch
+    banded LSH when every doc arrives within one join window — on the
+    dup-heavy fixture (exact-dup families + planted near-dups)."""
+    from pyspark.sql import functions as F
+
+    from test_dedup import _dup_heavy_corpus
+    from tric_spark.operators import dedup
+    from tric_spark.streaming.neardup import stream_neardup_candidates
+
+    docs = _dup_heavy_corpus(spark)
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 120)
+    staged = docs.withColumn("ts", ts)
+    src_dir = str(tmp_path / "docs_src")
+    staged.write.parquet(src_dir)
+
+    stream = stream_events_from_dir(spark, src_dir, staged.schema)
+    cand = stream_neardup_candidates(
+        stream, late_threshold="10 minutes", join_window="10 minutes"
+    )
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("neardup_cand")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.a, r.b) for r in spark.sql("select distinct a, b from neardup_cand").collect()
+    }
+    q.stop()
+
+    # batch twin on the SAME staged rows — and the band hashes are
+    # byte-identical to the batch LSH family, so the pair set equals the
+    # unguarded lsh_candidate_pairs set
+    static = {(r.a, r.b) for r in stream_neardup_candidates(staged).select("a", "b").collect()}
+    batch = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(docs, max_bucket=None).collect()}
+    assert got == static == batch
+    # exact-dup family members share every band — guaranteed candidates
+    for f in range(10):
+        assert (f * 100, f * 100 + 1) in got

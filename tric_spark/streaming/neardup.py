@@ -1,0 +1,143 @@
+"""Streaming near-duplicate candidates (VERDICT r3 #8 — the one pipeline
+op a streaming ingest wants that had no streaming twin).
+
+Design: the batch family's banded-LSH shape re-expressed as a stream-stream
+SELF-JOIN on the band hash — the idiomatic Structured Streaming form, not a
+hand-rolled stateful UDF:
+
+- the MinHash signature is computed as a MAP-ONLY expression
+  (``array_min`` over the hashed shingle array) instead of the batch
+  explode+groupBy: identical values (min over the same distinct-shingle
+  set), but no aggregation state, so the only stateful operator in the
+  query is the join itself;
+- each doc fans out to one row per band (band hash = md5 of the
+  concatenated minhash run, byte-identical to
+  ``dedup.lsh_candidate_pairs``);
+- the self-join is watermarked on BOTH sides with an event-time range
+  condition, so Spark evicts join state older than the lateness bound —
+  state is O(docs within the watermark window × bands), never unbounded.
+
+Semantics: a pair (a, b) is a candidate iff the docs share at least one
+LSH band AND arrived within ``join_window`` of each other — the streaming
+contract is time-local near-dup detection (a doc cannot pair with one that
+left the watermark). On a static DataFrame the same plan runs without
+watermarks and with DISTINCT pairs, so batch and stream remain one logical
+operator (tested stream == batch on the dup-heavy fixture).
+
+At 100 TB/day ingest: band fan-out is k/rows_per_band rows per doc; join
+state is bounded by the watermark; the exact-duplicate pair bomb is the
+same hazard as in batch — run :func:`...windows.stream_dedup_exact` (the
+streaming twin of neardup_groups' exact pre-pass) upstream of this
+operator so byte-identical re-crawls collapse to one representative before
+banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tric_spark.operators.dedup import shingles_col
+
+
+def minhash_signature_cols(k: int = 16, ngram: int = 3) -> list:
+    """The k minhash values as MAP-ONLY column expressions (no groupBy):
+    mh_i = min over the doc's distinct token ``ngram``-shingles of
+    md5(shingle + "#i") — value-identical to the batch
+    ``dedup.minhash_signatures`` aggregation, safe under streaming."""
+    grams = shingles_col(ngram)
+
+    def mh(i: int):
+        # the salt binds OUTSIDE the lambda: F.transform treats a 2-param
+        # lambda (even `i=i` defaulted) as (element, index) and would pass
+        # the array index in, silently corrupting the salt string
+        salt = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(grams, lambda s: F.md5(F.concat(s, salt).cast("binary")))
+        ).alias(f"mh{i}")
+
+    return [mh(i) for i in range(k)]
+
+
+def banded_signatures(
+    docs: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """(doc_id, ts, band_idx, band) — one row per (doc, band); band hash
+    byte-identical to the batch ``lsh_candidate_pairs`` banding."""
+    sig = docs.select(
+        "doc_id",
+        F.col(event_time_col).cast("timestamp").alias("ts"),
+        *minhash_signature_cols(k, ngram),
+    )
+    n_bands = k // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).cast("binary")
+            ).alias("band"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", "ts", F.explode(F.array(*bands)).alias("bd")
+    ).select("doc_id", "ts", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band").alias("band"))
+
+
+def stream_neardup_candidates(
+    docs: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    event_time_col: str = "ts",
+    late_threshold: str = "10 minutes",
+    join_window: str = "10 minutes",
+) -> DataFrame:
+    """(a, b, band_idx, ts_a, ts_b) candidate near-duplicate pairs from a
+    document stream (doc_id, text, ts).
+
+    Streaming input: watermark-bounded stream-stream self-join on the band
+    hash with the event-time range |ts_b − ts_a| ≤ ``join_window`` (the
+    range condition is what lets Spark drop join state past the watermark).
+    A pair sharing several bands is emitted once per shared band — sinks
+    needing distinct pairs aggregate downstream (distinct-after-join would
+    be a second stateful operator; keep the streaming query single-state).
+
+    Static input: identical plan without watermarks, pairs DISTINCT — the
+    unified batch/stream contract (matches ``dedup.lsh_candidate_pairs``'s
+    pair set whenever all docs fall inside one join window)."""
+    is_streaming = docs.isStreaming
+    banded = banded_signatures(docs, k, rows_per_band, ngram, event_time_col)
+    if is_streaming:
+        banded = banded.withWatermark("ts", late_threshold)
+    left = banded.select(
+        F.col("doc_id").alias("a"),
+        F.col("ts").alias("ts_a"),
+        F.col("band_idx").alias("bi_a"),
+        F.col("band").alias("band_a"),
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"),
+        F.col("ts").alias("ts_b"),
+        F.col("band_idx").alias("bi_b"),
+        F.col("band").alias("band_b"),
+    )
+    cond = (
+        (F.col("bi_a") == F.col("bi_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("a") < F.col("b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {join_window}"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {join_window}"))
+    )
+    pairs = left.join(right, cond).select(
+        "a", "b", F.col("bi_a").alias("band_idx"), "ts_a", "ts_b"
+    )
+    if not is_streaming:
+        return pairs.dropDuplicates(["a", "b", "band_idx"])
+    return pairs
