@@ -45,9 +45,11 @@ def test_pagerank_all_dangling(spark):
 
 
 def test_pagerank_dangling_chains_without_per_step_actions(spark, monkeypatch):
-    """VERDICT r2 #7: with the dangling mass folded into the step plan as a
-    broadcast 1-row aggregate, a dangling graph runs a chained block with
-    ≤1 driver action (the block's localCheckpoint) and zero collects."""
+    """VERDICT r2 #7 + ADVICE r3: the dangling mass is an in-plan broadcast
+    1-row aggregate — zero collects ever — but chaining is GATED OFF on
+    dangling graphs (r4 A/B: chained dangling blocks recompute through the
+    broadcast boundary, 42 s at chain=6 vs 5.8 s per-step), so a chain=3
+    request runs one checkpoint per superstep here."""
     directed = [(0, 1), (1, 2), (2, 0), (0, 3)]  # vertex 3 is a sink
     edges = edges_df(spark, directed)
     verts = spark.range(4).withColumnRenamed("id", "vid")
@@ -72,7 +74,7 @@ def test_pagerank_dangling_chains_without_per_step_actions(spark, monkeypatch):
     monkeypatch.undo()
 
     assert calls["collect"] == 0  # dangling mass never hits the driver
-    assert calls["ckpt"] == 2  # init + exactly one per 3-step chained block
+    assert calls["ckpt"] == 4  # init + one per superstep (chain gated to 1)
 
     got = np.zeros(4)
     for r in result.collect():
@@ -176,7 +178,9 @@ def test_weighted_and_ppr_check_every_one_delta_action_per_block(spark, monkeypa
     from tric_spark.operators import pagerank as pr_mod
     from tric_spark.operators.pagerank import personalized_pagerank, weighted_pagerank
 
-    directed = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]  # vertex 4 dangles
+    # dangling-free (every vertex has out-links) — chaining stays active;
+    # dangling graphs gate chain/check_every to 1 (_chain_policy, measured)
+    directed = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
     verts = spark.range(5).withColumnRenamed("id", "vid")
     triples = spark.createDataFrame(
         [(u, v, 1.0 + (u + v) % 3) for u, v in directed],

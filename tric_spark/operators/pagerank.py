@@ -16,7 +16,11 @@ twice, so a chained block held 2^chain copies of the inner subplan; the
 single-reference form chains linearly, and the two consumers of `mass`
 sit above one reused exchange). The dangling mass re-enters the plan as a
 broadcast 1-row aggregate — never a per-superstep driver collect — so
-supersteps stay fully lazy and chain on any graph. At 10^12 scale the
+supersteps stay fully lazy on any graph; CHAINING, however, is gated off
+when dangling vertices exist (see ``_chain_policy``: exchange reuse does
+not cross the BroadcastExchange boundary, so chained dangling blocks
+re-execute inner steps — measured 42 s at chain=6 vs 5.8 s per-step).
+At 10^12 scale the
 ranks⋈adjacency join is shuffle-on-vid co-located with the static
 adjacency partitioning, and AQE skew-join splits hub partitions.
 """
@@ -48,6 +52,24 @@ def _block_delta(old: DataFrame, new: DataFrame) -> float:
     )
 
 
+def _chain_policy(
+    has_dangling: bool, chain: int, check_every: int
+) -> tuple[int, int]:
+    """Chaining is gated OFF on dangling graphs — measured, not assumed
+    (r4 A/B, 0.7M edges / 10% dangling / 6 supersteps, best-of-2):
+    chain=1 → 5.84 s, chain=3 → 7.40 s, chain=6 → 42–85 s. The dangling
+    step is single-reference, but its broadcast 1-row dangling aggregate
+    sits on a BroadcastExchange whose subplan re-executes the entire inner
+    chain per level — Spark's exchange reuse does not deduplicate across
+    the broadcast boundary, so a chained block recomputes ~2^chain inner
+    steps. One checkpoint barrier per superstep is the fast path on
+    dangling graphs; dangling-free graphs chain as requested (measured
+    7.6→4.1 s at sf0.1 with chain=3)."""
+    if has_dangling:
+        return 1, 1
+    return chain, check_every
+
+
 def _iterate(
     init: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -66,8 +88,9 @@ def _iterate(
     checkpoint+delta. The stopping rule becomes "delta across the block
     < tol", which only ever runs extra iterations (the multi-step delta
     upper-bounds each per-step delta), so the returned iterate is at least
-    as converged. Steps are fully lazy and single-reference even on
-    dangling graphs, so both modes chain unconditionally."""
+    as converged. Callers gate chain/check_every to 1 on dangling graphs
+    first (``_chain_policy`` — chained dangling blocks recompute through
+    the broadcast dangling aggregate, measured)."""
     cur = init.localCheckpoint(eager=True)
     if tol > 0:
         done = 0
@@ -123,6 +146,7 @@ def pagerank(
     # dangling vertices detected ONCE — symmetric link graphs have none, and
     # the dangling branch of the step plan is skipped entirely for them
     has_dangling = adj.count() < n_b
+    chain, check_every = _chain_policy(has_dangling, chain, check_every)
     verts = vertices.select("vid")
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
@@ -218,6 +242,7 @@ def weighted_pagerank(
         return vertices.withColumn("rank", F.lit(0.0))
     n = float(n_b)
     has_dangling = w_adj.count() < n_b
+    chain, check_every = _chain_policy(has_dangling, chain, check_every)
     verts = vertices.select("vid")
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
 
@@ -297,6 +322,7 @@ def personalized_pagerank(
     edges = directed.select("src", "dst")
     adj = out_adjacency(edges).cache()
     has_dangling = adj.count() < vertices.count()
+    chain, check_every = _chain_policy(has_dangling, chain, check_every)
 
     # teleport column: 1/|S| on seeds, 0 elsewhere — joined once, reused
     vert_e = vertices.join(
