@@ -8,21 +8,23 @@ against a dense numpy oracle with allclose(atol=1e-6).
 Spark shape per superstep (the scale-critical part):
     mass = ranks ⋈ adjacency on vid → explode → groupBy(target).sum
 (ONE shuffle). The adjacency is cached once; per superstep only the n-row
-rank state moves. Dangling vertices explode to a NULL target carrying their
-whole rank, so the SAME groupBy that builds per-vertex in-mass also yields
-the dangling mass as its NULL group — the step references its input exactly
-ONCE (r3 ADVICE: the previous contribs-join + anti-join form referenced rk
-twice, so a chained block held 2^chain copies of the inner subplan; the
-single-reference form chains linearly, and the two consumers of `mass`
-sit above one reused exchange). The dangling mass re-enters the plan as a
-broadcast 1-row aggregate — never a per-superstep driver collect — so
-supersteps stay fully lazy on any graph; CHAINING, however, is gated off
-when dangling vertices exist (see ``_chain_policy``: exchange reuse does
-not cross the BroadcastExchange boundary, so chained dangling blocks
-re-execute inner steps — measured 42 s at chain=6 vs 5.8 s per-step).
-At 10^12 scale the
-ranks⋈adjacency join is shuffle-on-vid co-located with the static
-adjacency partitioning, and AQE skew-join splits hub partitions.
+rank state moves. The vertex frame for the final left join is
+``rk.select("vid")`` — NOT the caller's cached vertex table: the
+checkpointed rank state is already hash-partitioned on vid, so the join
+plans exchange-free, whereas joining the cached frame re-sorts its scan at
+every chain level (measured r4 A/B: 8.1 s vs 3.8 s for 5 supersteps at
+sf0.1). Dangling vertices explode to a NULL target carrying their whole
+rank, so the SAME groupBy that builds per-vertex in-mass also yields the
+dangling mass as its NULL group (r3 ADVICE: collapses the old anti-join
+rescan; both consumers of `mass` sit above one reused exchange). The
+dangling mass re-enters the plan as a broadcast 1-row aggregate — never a
+per-superstep driver collect — so supersteps stay fully lazy on any graph;
+CHAINING, however, is gated off when dangling vertices exist (see
+``_chain_policy``: exchange reuse does not cross the BroadcastExchange
+boundary, so chained dangling blocks re-execute inner steps — measured
+42 s at chain=6 vs 5.8 s per-step). At 10^12 scale the ranks⋈adjacency
+join is shuffle-on-vid co-located with the static adjacency partitioning,
+and AQE skew-join splits hub partitions.
 """
 
 from __future__ import annotations
@@ -147,7 +149,6 @@ def pagerank(
     # the dangling branch of the step plan is skipped entirely for them
     has_dangling = adj.count() < n_b
     chain, check_every = _chain_policy(has_dangling, chain, check_every)
-    verts = vertices.select("vid")
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     state_schema = "vid long, rank double"
@@ -163,7 +164,13 @@ def pagerank(
                 .groupBy("vid")
                 .agg(F.sum("c").alias("in_mass"))
             )
-            return verts.join(contribs, "vid", "left").select(
+            # rk.select("vid"), NOT the cached verts frame: the checkpointed
+            # rk is already hash-partitioned on vid from the previous block,
+            # so this left join plans exchange-free against the contribs
+            # aggregate; joining the cached verts instead re-sorts the cache
+            # scan every chain level (measured r4 A/B: 8.1 s vs 3.8 s for
+            # pagerank5 at sf0.1)
+            return rk.select("vid").join(contribs, "vid", "left").select(
                 "vid",
                 (
                     F.lit((1.0 - d) / n)
@@ -192,7 +199,10 @@ def pagerank(
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
-        new = verts.join(
+        # rk.select("vid") (checkpointed every superstep here — the chain
+        # gate) instead of the cached verts frame, for the same
+        # exchange-free join reason as the dangling-free branch
+        new = rk.select("vid").join(
             mass.withColumnRenamed("tvid", "vid"), "vid", "left"
         ).crossJoin(F.broadcast(dang))
         base = F.lit((1.0 - d) / n) + F.lit(d) * F.col("_dm") / F.lit(n)
@@ -243,7 +253,6 @@ def weighted_pagerank(
     n = float(n_b)
     has_dangling = w_adj.count() < n_b
     chain, check_every = _chain_policy(has_dangling, chain, check_every)
-    verts = vertices.select("vid")
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
 
     def step(rk: DataFrame) -> DataFrame:
@@ -261,7 +270,9 @@ def weighted_pagerank(
                 .groupBy("vid")
                 .agg(F.sum("c").alias("in_mass"))
             )
-            return verts.join(contribs, "vid", "left").select(
+            # rk.select("vid"): exchange-free against the contribs aggregate
+            # (same measured reason as the unweighted kernel)
+            return rk.select("vid").join(contribs, "vid", "left").select(
                 "vid",
                 (
                     F.lit((1.0 - d) / n)
@@ -287,7 +298,7 @@ def weighted_pagerank(
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
-        new = verts.join(
+        new = rk.select("vid").join(
             mass.withColumnRenamed("tvid", "vid"), "vid", "left"
         ).crossJoin(F.broadcast(dang))
         base = F.lit((1.0 - d) / n) + F.lit(d) * F.col("_dm") / F.lit(n)
