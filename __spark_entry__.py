@@ -172,6 +172,30 @@ def q_kcore2_edges(spark, sf_dir):
     return kcore_subgraph(sym, k=2)
 
 
+def q_edge_support(spark, sf_dir):
+    from tric_spark.operators.truss import edge_support
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return edge_support(canon)
+
+
+def q_ktruss3_edges(spark, sf_dir):
+    # k=3 (not 4): the sf0.01 doc graph's max truss is 3, so the 3-truss is
+    # the largest NON-EMPTY fixed-k truss the gate can hash-check (103 edges
+    # at sf0.01); k>=4 goldens live in test_truss.py
+    from tric_spark.operators.truss import ktruss_edges
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return ktruss_edges(canon, k=3)
+
+
+def q_truss_numbers(spark, sf_dir):
+    from tric_spark.operators.truss import truss_numbers
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return truss_numbers(canon)
+
+
 def q_cc_hashmin_step1(spark, sf_dir):
     canon, sym, verts, deg = _graph_tables(spark, sf_dir)
     nbr_min = sym.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("m"))
@@ -265,6 +289,11 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    # CAP ASSUMPTION (ADVICE r4): runs with the DEFAULT max_bucket=100k
+    # guard while the DuckDB oracle is unguarded — parity holds because no
+    # sf0.01/sf0.1 band cell approaches 100k ids. A sweep at a SF whose
+    # cells exceed the cap would diff here by design (guard, not kernel bug);
+    # pass max_bucket=None to replay the oracle exactly at any SF.
     return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -277,6 +306,7 @@ def q_simhash_groups(spark, sf_dir):
 
 
 def q_simhash_candidates(spark, sf_dir):
+    # same CAP ASSUMPTION as q_minhash_lsh_pairs (guarded vs unguarded oracle)
     return dedup.simhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
@@ -325,7 +355,8 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    # LSH-bucketed default — the scale path, oracle replays the buckets
+    # LSH-bucketed default — the scale path, oracle replays the buckets;
+    # same CAP ASSUMPTION as q_minhash_lsh_pairs (guarded vs unguarded oracle)
     return similarity.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
@@ -383,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "core_numbers": q_core_numbers,
         "kcore2_edges": q_kcore2_edges,
+        "edge_support": q_edge_support,
+        "ktruss3_edges": q_ktruss3_edges,
+        "truss_numbers": q_truss_numbers,
         "cc_hashmin_step1": q_cc_hashmin_step1,
         "bfs_from_0": q_bfs_from_0,
         "cc_converged": q_cc_converged,
@@ -588,6 +622,84 @@ def _kcore_sql(k: int, rounds: int = 24) -> str:
     )
 
 
+_SUPPORT = """
+  sides AS (
+    SELECT i AS src, j AS dst FROM tri
+    UNION ALL SELECT i AS src, k AS dst FROM tri
+    UNION ALL SELECT j AS src, k AS dst FROM tri
+  ),
+  sup AS (
+    SELECT u.src, u.dst, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+    FROM und u LEFT JOIN (
+      SELECT src, dst, count(*) AS c FROM sides GROUP BY src, dst
+    ) s ON s.src = u.src AND s.dst = u.dst
+  )
+"""
+
+
+def _truss_round_ctes(i: int, prev: str) -> list[str]:
+    """One peel wave over edge CTE ``prev``: triangles → per-edge support
+    (zero-filled). Shared by the fixed-k and full-decomposition unrolls."""
+    return [
+        f"tri{i} AS MATERIALIZED (SELECT e1.src AS i, e1.dst AS j, e2.dst AS k"
+        f" FROM {prev} e1 JOIN {prev} e2 ON e2.src = e1.src AND e2.dst > e1.dst"
+        f" JOIN {prev} e3 ON e3.src = e1.dst AND e3.dst = e2.dst)",
+        f"sup{i} AS MATERIALIZED (SELECT t.src, t.dst, CAST(coalesce(s.c, 0) AS BIGINT) AS c"
+        f" FROM {prev} t LEFT JOIN ("
+        f"   SELECT src, dst, count(*) AS c FROM ("
+        f"     SELECT i AS src, j AS dst FROM tri{i}"
+        f"     UNION ALL SELECT i AS src, k AS dst FROM tri{i}"
+        f"     UNION ALL SELECT j AS src, k AS dst FROM tri{i}"
+        f"   ) GROUP BY src, dst"
+        f" ) s ON s.src = t.src AND s.dst = t.dst)",
+    ]
+
+
+def _ktruss_sql(k: int, rounds: int = 12) -> str:
+    """Fixed-k truss peel to the fixpoint, unrolled (mirrors
+    truss.ktruss_edges): drop edges with support < k−2 until stable; extra
+    rounds are no-ops. AS MATERIALIZED for the same exponential-inlining
+    reason as _core_numbers_sql."""
+    ctes = ["t0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, rounds + 1):
+        ctes += _truss_round_ctes(i, f"t{i - 1}")
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT src, dst FROM sup{i} WHERE c >= {k - 2})"
+        )
+    return f"WITH {E}, {', '.join(ctes)} SELECT src, dst FROM t{rounds}"
+
+
+def _truss_numbers_sql(rounds: int = 16) -> str:
+    """Full truss decomposition unrolled (mirrors truss.truss_numbers):
+    per wave the level k is the running max of (min support + 2); edges
+    with support ≤ k−2 peel at level k. Same carried-level CTE pattern as
+    _core_numbers_sql."""
+    ctes = [
+        "t0 AS MATERIALIZED (SELECT src, dst FROM und)",
+        "k0 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS k)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += _truss_round_ctes(i, f"t{p}")
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT greatest("
+            f"coalesce((SELECT min(c) FROM sup{i}), 0) + 2,"
+            f" (SELECT k FROM k{p})) AS k)"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT src, dst, (SELECT k FROM k{i}) AS truss"
+            f" FROM sup{i} WHERE c <= (SELECT k FROM k{i}) - 2)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT src, dst FROM sup{i}"
+            f" WHERE c > (SELECT k FROM k{i}) - 2)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst, truss FROM g{i}" for i in range(1, rounds + 1)
+    )
+    return f"WITH {E}, {', '.join(ctes)} SELECT src, dst, truss FROM ({unions})"
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
@@ -643,6 +755,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "core_numbers": _core_numbers_sql(_oracle_rounds(32)),
         "kcore2_edges": _kcore_sql(2, _oracle_rounds(24)),
+        "edge_support": f"WITH {E}, {_TRI}, {_SUPPORT} SELECT src, dst, support FROM sup",
+        "ktruss3_edges": _ktruss_sql(3, _oracle_rounds(10)),
+        "truss_numbers": _truss_numbers_sql(_oracle_rounds(14)),
         "pagerank_converged": _pagerank_converged_sql(),
         "cc_hashmin_step1": f"""
             WITH {E}
@@ -818,6 +933,11 @@ def oracle_sql() -> dict[str, str]:
                    {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
             FROM grams
         """,
+        # CAP ASSUMPTION (ADVICE r4): this oracle (and simhash_candidates /
+        # embedding_neardup below) is UNGUARDED while the Spark side runs
+        # with the default max_bucket=100k — parity holds only while every
+        # band cell stays below the cap (true at sf0.01/sf0.1 by orders of
+        # magnitude). A larger-SF sweep that trips the cap diffs by design.
         "minhash_lsh_pairs": f"""
             WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}
             SELECT a, b FROM cand

@@ -142,6 +142,14 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
         "doc_graph_tc",
         lambda: tc.triangle_count_join(doc_edges(spark, sf_dir)),
     )
+    # NEW r5: per-edge triangle support (the k-truss building block) —
+    # one TC pass + explode + groupBy over the doc graph
+    from tric_spark.operators.truss import edge_support
+
+    timed(
+        "edge_support",
+        lambda: edge_support(doc_edges(spark, sf_dir)).count(),
+    )
     timed(
         "dedup_minhash_lsh",
         lambda: dedup.lsh_candidate_pairs(docs).count(),
@@ -392,13 +400,45 @@ def main() -> None:
 
     from tric_spark.session import get_spark
 
-    spark = get_spark(app_name="tric-spark-bench", cores=CPUS,
-                      shuffle_partitions=max(CPUS * 2, 32))
-    try:
-        result = run_bench(spark, SF_DIR, _n_pages(_sf_of(SF_DIR)))
-        print(json.dumps(result))
-    finally:
-        spark.stop()
+    # Headline load gate (VERDICT r4 #6): the r4 official record began at
+    # host load 7.4/32 and three queries swung +36-39% on unchanged code.
+    # Same discipline as --scaling: wait (up to SPARK_GRAFT_LOAD_WAIT s) for
+    # 1-min loadavg ≤ SPARK_GRAFT_LOAD_GATE before starting; if the first
+    # query still started contended (co-tenants arrived mid-wait), retry the
+    # whole bench ONCE and record both attempts in the JSON.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+
+    def wait_quiet() -> float:
+        deadline = time.time() + float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+        while os.getloadavg()[0] > gate and time.time() < deadline:
+            time.sleep(15)
+        return os.getloadavg()[0]
+
+    def one_attempt() -> dict:
+        start_load = wait_quiet()
+        spark = get_spark(app_name="tric-spark-bench", cores=CPUS,
+                          shuffle_partitions=max(CPUS * 2, 32))
+        try:
+            r = run_bench(spark, SF_DIR, _n_pages(_sf_of(SF_DIR)))
+        finally:
+            spark.stop()
+        r["headline_loadavg_start"] = round(start_load, 1)
+        return r
+
+    result = one_attempt()
+    # judge contamination by the FIRST query's load: later values include
+    # our own local[32] threads (CLAUDE.md lore)
+    first_q_load = result["query_loadavg_start"].get("extract_outlinks", 0.0)
+    if first_q_load > gate:
+        retry = one_attempt()
+        retry_load = retry["query_loadavg_start"].get("extract_outlinks", 0.0)
+        # primary = the quieter attempt; the other is kept in full
+        if retry_load <= first_q_load:
+            retry["contended_other_attempt"] = result
+            result = retry
+        else:
+            result["contended_other_attempt"] = retry
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

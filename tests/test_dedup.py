@@ -266,3 +266,19 @@ def test_neardup_with_metrics_surfaces_audit(spark):
     groups2, metrics2 = neardup_with_metrics(docs)
     assert metrics2["oversized_band_cells"] == 0
     assert groups2.count() >= groups.count()
+
+
+def test_exact_dedup_null_text(spark):
+    """VERDICT r4 #5: md5(NULL) is NULL, so without the filter all NULL-text
+    docs would collapse into one bogus duplicate group and dedup_exact would
+    keep one arbitrary null-text survivor. NULL-text docs are never
+    duplicates of each other: excluded from groups, all kept."""
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2 and groups[0].min_doc_id == 1
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]

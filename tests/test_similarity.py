@@ -95,3 +95,36 @@ def test_ivf_centroid_pick_is_distributed_topk(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
     assert cents.count() == 16
+
+
+def test_hyperplane_matrix_guard_and_jagged_vectors(spark):
+    """ADVICE r4: (a) hyperplane_matrix itself rejects n_planes > 32 (one
+    md5 hex digit per plane); (b) a jagged row whose width differs from the
+    probed dims must NOT null-pad against the matrix literal and collapse
+    into the all-'0' bucket — the per-row CASE routes it to the
+    width-correct legacy expression, so the matrix path equals the legacy
+    path on every row, jagged ones included."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.hyperplane_matrix(33, 4)
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.3, 0.9]), (2, [0.1, -0.8]), (3, [-0.4, 0.2, 0.7, 0.1, 0.6])],
+        "id long, v array<double>",
+    )
+    sig_matrix = [
+        r.s
+        for r in df.orderBy("id")
+        .select(sim.hyperplane_signature(F.col("v"), 8, dims=4).alias("s"))
+        .collect()
+    ]
+    sig_legacy = [
+        r.s
+        for r in df.orderBy("id")
+        .select(sim.hyperplane_signature(F.col("v"), 8).alias("s"))
+        .collect()
+    ]
+    assert sig_matrix == sig_legacy
+    # and none of the jagged rows collapsed to the all-zeros bucket
+    assert sig_matrix[1] != "0" * 8 and sig_matrix[2] != "0" * 8

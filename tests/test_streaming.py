@@ -123,3 +123,63 @@ def test_stream_neardup_candidates_match_batch(spark, tmp_path):
     # exact-dup family members share every band — guaranteed candidates
     for f in range(10):
         assert (f * 100, f * 100 + 1) in got
+
+
+def test_stream_dedup_then_neardup_chain(spark, tmp_path):
+    """VERDICT r4 #7: the prescribed pair-bomb guard composition —
+    stream_dedup_exact feeding stream_neardup_candidates as ONE streaming
+    query (chained stateful operators). The composed candidate set must
+    equal the batch neardup pipeline's candidate set over exact-dedup
+    representatives, compared at the text_hash level because the streaming
+    dedup keeps the first ARRIVAL of each hash while the batch keeps the
+    min doc_id — same family, possibly different member id."""
+    from pyspark.sql import functions as F
+
+    from test_dedup import _dup_heavy_corpus
+    from tric_spark.operators import dedup
+    from tric_spark.streaming.neardup import stream_neardup_candidates
+    from tric_spark.streaming.windows import stream_dedup_exact, with_text_hash
+
+    docs = _dup_heavy_corpus(spark)
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 120)
+    staged = with_text_hash(docs).withColumn("ts", ts)
+    src_dir = str(tmp_path / "docs_src")
+    staged.write.parquet(src_dir)
+
+    stream = stream_events_from_dir(spark, src_dir, staged.schema)
+    deduped = stream_dedup_exact(stream, late_threshold="10 minutes")
+    # late_threshold=None: the watermark is already defined by the dedup
+    # stage — Spark disallows redefining it mid-query
+    cand = stream_neardup_candidates(
+        deduped, late_threshold=None, join_window="10 minutes"
+    )
+    q = (
+        cand.writeStream.format("memory")
+        .queryName("chained_cand")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_ids = {
+        (r.a, r.b) for r in spark.sql("select distinct a, b from chained_cand").collect()
+    }
+    q.stop()
+
+    # map pair ids → their text hashes so representative choice cancels out
+    id2h = {r.doc_id: r.text_hash for r in staged.select("doc_id", "text_hash").collect()}
+    got = {tuple(sorted((id2h[a], id2h[b]))) for a, b in got_ids}
+
+    # batch twin: exact pre-pass representatives → unguarded banded LSH —
+    # exactly neardup_groups' candidate stage (dedup.py exact pre-pass)
+    reps = dedup.dedup_exact(docs.filter(F.col("text").isNotNull()))
+    batch_pairs = dedup.lsh_candidate_pairs(reps, max_bucket=None)
+    want = {
+        tuple(sorted((id2h[r.a], id2h[r.b]))) for r in batch_pairs.collect()
+    }
+    assert got == want
+    # the pair bomb is defused: no intra-family (same-hash) pairs survive
+    assert all(ha != hb for ha, hb in got)
+    # and the planted near-dup families still surface
+    assert len(got) > 0

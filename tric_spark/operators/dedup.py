@@ -26,20 +26,31 @@ from tric_spark.operators.textstats import tokens_col
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """(text_hash, n_dups, min_doc_id) — exact-duplicate groups (size > 1).
     The hash groupBy form of exact dedup; keep min_doc_id as the canonical
-    representative."""
+    representative. NULL-text docs are excluded: ``md5(NULL)`` is NULL, so
+    without the filter every null-text doc would collapse into one bogus
+    "duplicate" group (VERDICT r4 #2; matches :func:`neardup_groups`)."""
     return (
-        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_dups") > 1)
     )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Documents with exact-duplicate texts removed (min doc_id kept)."""
-    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    """Documents with exact-duplicate texts removed (min doc_id kept).
+    NULL-text docs are never duplicates of each other — they all survive
+    (VERDICT r4 #2: hashing them would keep one arbitrary null-text doc)."""
+    keep = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
     )
-    return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    drop = (
+        docs.filter(F.col("text").isNotNull())
+        .join(keep.select("doc_id"), "doc_id", "left_anti")
+    )
+    return docs.join(drop.select("doc_id"), "doc_id", "left_anti")
 
 
 def shingles_col(ngram: int = 3) -> Column:

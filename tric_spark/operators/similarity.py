@@ -77,6 +77,10 @@ def hyperplane_matrix(n_planes: int, dims: int, seed: int = 42) -> list[list[flo
     in-plan hashing path, and the SQL oracle all derive identical planes."""
     import hashlib
 
+    if n_planes > 32:
+        # one md5 hex digit per plane — digit n_planes-1 must exist (ADVICE
+        # r4: a direct call past 32 died with IndexError mid-comprehension)
+        raise ValueError("hyperplane_matrix supports at most 32 planes")
     hexes = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest() for d in range(dims)]
     return [
         [1.0 if hexes[d][p] in "89abcdef" else -1.0 for d in range(dims)]
@@ -100,39 +104,53 @@ def hyperplane_signature(
     so at 32 planes × 64 dims that is ~2048 redundant md5s per row
     (VERDICT r3 #2); it remains only for variable-width vector columns.
     Both paths produce bit-identical signatures: x·(+1.0)/x·(−1.0) is exact
-    in IEEE754 and the left-fold summation order is unchanged."""
+    in IEEE754 and the left-fold summation order is unchanged.
+
+    Jagged inputs (ADVICE r4): a row whose width differs from ``dims`` would
+    zip_with-null-pad against the fixed-width matrix literal, NULL the
+    projection, and silently collapse into the all-'0' bucket — so the
+    matrix path is guarded per-row with a CASE that routes
+    ``size(vec) != dims`` rows to the width-correct legacy expression (the
+    predicate is one comparison per row; uniform-width data never takes the
+    legacy branch)."""
     if n_planes > 32:
         raise ValueError("hyperplane_signature supports at most 32 planes")
     v = vec_col
 
+    def legacy_proj(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: F.when(
+                    F.instr(
+                        F.lit("89abcdef"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{seed}:"), d.cast("string")).cast("binary")),
+                            p + 1,
+                            1,
+                        ),
+                    )
+                    > 0,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
     def plane_bit(p: int) -> Column:
         if dims is not None:
-            proj = F.aggregate(
-                F.zip_with(v, F.lit(_mat[p]), lambda x, s: x * s),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        else:
-            proj = F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda x, d: F.when(
-                        F.instr(
-                            F.lit("89abcdef"),
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{seed}:"), d.cast("string")).cast("binary")),
-                                p + 1,
-                                1,
-                            ),
-                        )
-                        > 0,
-                        x,
-                    ).otherwise(-x),
+            proj = F.when(
+                F.size(v) == dims,
+                F.aggregate(
+                    F.zip_with(v, F.lit(_mat[p]), lambda x, s: x * s),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
                 ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
+            ).otherwise(legacy_proj(p))
+        else:
+            proj = legacy_proj(p)
         # 6dp rounding before the sign keeps the bucket replayable by the
         # DuckDB oracle despite float summation-order differences
         return F.when(F.round(proj, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))

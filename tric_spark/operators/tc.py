@@ -37,6 +37,109 @@ from pyspark.sql import functions as F
 from tric_spark import graph
 
 
+# Measured kernel crossover (BENCH.md "Annotation (r4 ...)" table, this box):
+# at 1.5M directed edges / 32 cores the Arrow self-adjacency kernel and the
+# JVM wedge-join tie (~3.5 s) and the Arrow path keeps the lower constant;
+# at 49.7M directed edges the JVM join wins at BOTH 2 and 8 cores (146 vs
+# 163-174 s; 45-52 vs 60-76 s) and scales better (TC efficiency 0.78-0.83 vs
+# 0.67) because the Arrow kernel's per-batch numpy intersects saturate shared
+# memory bandwidth (core-seconds inflate ~49% from 2→8 cores). Bandwidth, not
+# core count, is the binding resource, so the rule keys on TOTAL edge volume:
+# below this many ORIENTED (canonical) edges auto picks the Arrow kernel,
+# above it the JVM join. 2M canonical = 4M directed sits between the measured
+# points with ~2.7× margin to the nearest one.
+AUTO_ARROW_MAX_EDGES = 2_000_000
+
+
+def pick_strategy(m: int, threshold: int = AUTO_ARROW_MAX_EDGES) -> str:
+    """The measured auto rule: ``adj2`` (Arrow self-adjacency) below the
+    edge-volume threshold, ``join`` (JVM wedge-join) above it. The
+    reference's analog is main.cpp:199–237 choosing a physical variant per
+    build; ours is data-driven from the r4 BENCH.md crossover measurements
+    (see :data:`AUTO_ARROW_MAX_EDGES`)."""
+    return "adj2" if m <= threshold else "join"
+
+
+def _has_integral_ids(oriented: DataFrame) -> bool:
+    """The Arrow/numpy kernels pack vids into int64 — 128-bit struct ids
+    (graph.assign_wide_ids) can only ride the JVM paths."""
+    from pyspark.sql.types import IntegralType
+
+    return isinstance(oriented.schema["src"].dataType, IntegralType)
+
+
+def triangle_count(
+    oriented: DataFrame,
+    strategy: str = "auto",
+    deg: DataFrame | None = None,
+    m: int | None = None,
+) -> int:
+    """Global exact triangle count with physical-strategy selection.
+
+    ``strategy="auto"`` applies :func:`pick_strategy`'s measured rule;
+    explicit values ("adj2", "adj", "join", "salted") force a kernel.
+    ``deg``: pass the undirected degree table when ``oriented`` came from
+    :func:`tric_spark.graph.orient_by_degree` (the join path's wedge filter
+    must share the orientation order). ``m``: oriented edge count if the
+    caller already knows it (skips one count()). The salted hub-split kernel
+    is never auto-picked — it exists for id-oriented inputs whose hubs
+    survive orientation, a property the edge count can't see. Struct
+    (128-bit) ids auto-route to the JVM join kernel; forcing an Arrow
+    kernel on them raises.
+    """
+    if strategy == "auto":
+        if not _has_integral_ids(oriented):
+            strategy = "join"
+        else:
+            strategy = pick_strategy(m if m is not None else oriented.count())
+    elif strategy != "join" and not _has_integral_ids(oriented):
+        raise ValueError(
+            f"TC strategy {strategy!r} needs int64 vertex ids; 128-bit "
+            "struct ids (assign_wide_ids) ride the 'join' kernel"
+        )
+    if strategy == "adj2":
+        return triangle_count_adj2(oriented)
+    if strategy == "adj":
+        return triangle_count_adj(oriented)
+    if strategy == "salted":
+        return triangle_count_adj2_salted(oriented)
+    if strategy == "join":
+        return triangle_count_join(oriented, deg=deg)
+    raise ValueError(f"unknown TC strategy {strategy!r}")
+
+
+def triangles_per_vertex(
+    oriented: DataFrame,
+    strategy: str = "auto",
+    deg: DataFrame | None = None,
+    m: int | None = None,
+) -> DataFrame:
+    """(vid, tc) with the same measured auto rule as :func:`triangle_count`
+    — the per-vertex variants ride the identical kernels and shuffles, so
+    the global crossover carries over."""
+    if strategy == "auto":
+        if not _has_integral_ids(oriented):
+            strategy = "join"
+        else:
+            strategy = pick_strategy(m if m is not None else oriented.count())
+    elif strategy != "join" and not _has_integral_ids(oriented):
+        raise ValueError(
+            f"TC strategy {strategy!r} needs int64 vertex ids; 128-bit "
+            "struct ids (assign_wide_ids) ride the 'join' kernel"
+        )
+    if strategy in ("adj2", "adj"):
+        return (
+            triangles_per_vertex_adj2(oriented)
+            if strategy == "adj2"
+            else triangles_per_vertex_adj(oriented)
+        )
+    if strategy == "salted":
+        return triangles_per_vertex_adj2_salted(oriented)
+    if strategy == "join":
+        return triangles_per_vertex_join(oriented, deg=deg)
+    raise ValueError(f"unknown TC strategy {strategy!r}")
+
+
 def _wedges(oriented: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """All wedges (i → j, i → k) with j before k in the orientation order.
 

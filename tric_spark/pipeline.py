@@ -46,12 +46,18 @@ class LinkGraph:
 
 
 def build_link_graph(
-    spark: SparkSession, pages: DataFrame, cache: bool = True
+    spark: SparkSession, pages: DataFrame, cache: bool = True,
+    wide_ids: bool = False,
 ) -> LinkGraph:
     """Extraction → vertex ids (xxhash64, collision-audited) → graph views.
 
     Dangling link targets (urls never seen as pages) get ids too — the link
     graph covers everything referenced, like a real crawl frontier.
+
+    ``wide_ids=True`` assigns 128-bit struct ids (graph.assign_wide_ids) —
+    mandatory above ~10^9 vertices where 64-bit birthday collisions become
+    certain. All analytics run unchanged on struct ids; TC auto-routes to
+    the JVM join kernel (the one auto picks at that scale anyway).
     """
     url_edges = outlink_edges(pages)
     all_urls = (
@@ -59,11 +65,12 @@ def build_link_graph(
         .union(url_edges.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    ids = graph.assign_vertex_ids(all_urls)
+    assign = graph.assign_wide_ids if wide_ids else graph.assign_vertex_ids
+    ids = assign(all_urls)
     if graph.audit_id_collisions(ids) > 0:
         raise RuntimeError(
-            "xxhash64 vertex-id collision detected — widen to 128-bit ids "
-            "(two independent hashes) or use assign_dense_ids"
+            "vertex-id collision detected — widen to 128-bit ids "
+            "(wide_ids=True / assign_wide_ids) or use assign_dense_ids"
         )
     directed = (
         url_edges.join(ids.withColumnsRenamed({"url": "src_url", "vid": "src"}), "src_url")
@@ -111,7 +118,11 @@ def run_analytics(
         return SuperstepDriver(spark, os.path.join(checkpoint_dir, name))
 
     return {
-        "triangles_per_vertex": tc.triangles_per_vertex_adj2(g.oriented),
+        # auto: the measured r4 kernel-crossover rule (tc.pick_strategy) —
+        # Arrow self-adjacency below AUTO_ARROW_MAX_EDGES, JVM join above
+        "triangles_per_vertex": tc.triangles_per_vertex(
+            g.oriented, strategy="auto", deg=g.deg, m=g.n_edges
+        ),
         "pagerank": pagerank(
             g.sym, g.verts, tol=pr_tol, max_iter=pr_max_iter, driver=drv("pagerank")
         ),
@@ -124,20 +135,23 @@ def neardup_with_metrics(
     docs: DataFrame,
     threshold: float = 0.8,
     ngram: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None | str = "default",
     **kwargs,
 ) -> tuple[DataFrame, dict]:
     """Near-duplicate grouping with the band-bucket audit surfaced as
     metrics (VERDICT r3 #1): returns ``(groups, metrics)`` where metrics
     reports every band cell the ``max_bucket`` guard skipped — count, max
     cell size, and total ids in skipped cells — so dropped recall is an
-    operator-visible number, never silent. ``max_bucket=None`` uses the
-    library default (:data:`tric_spark.operators.dedup.DEFAULT_MAX_BUCKET`);
-    the audit aggregate re-executes the signature pipeline once (a metrics
-    call, not a data path)."""
+    operator-visible number, never silent. ``max_bucket`` follows the
+    library-wide convention (ADVICE r4: this API previously inverted it):
+    the string sentinel ``"default"`` means
+    :data:`tric_spark.operators.dedup.DEFAULT_MAX_BUCKET`, ``None`` means
+    explicit opt-out of the guard — same as ``lsh_candidate_pairs`` /
+    ``neardup_groups``. The audit aggregate re-executes the signature
+    pipeline once (a metrics call, not a data path)."""
     from tric_spark.operators.dedup import DEFAULT_MAX_BUCKET, neardup_groups
 
-    if max_bucket is None:
+    if max_bucket == "default":
         max_bucket = DEFAULT_MAX_BUCKET
     audit: dict = {}
     groups = neardup_groups(
@@ -193,7 +207,9 @@ def run_pipeline(
         df.write.mode("overwrite").parquet(path)
         metrics["outputs"][name] = spark.read.parquet(path).count()
     metrics["analytics_sec"] = round(time.time() - t0, 3)
-    metrics["triangles_total"] = tc.triangle_count_adj(g.oriented)
+    metrics["triangles_total"] = tc.triangle_count(
+        g.oriented, strategy="auto", deg=g.deg, m=g.n_edges
+    )
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics

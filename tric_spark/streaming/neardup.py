@@ -21,8 +21,8 @@ Semantics: a pair (a, b) is a candidate iff the docs share at least one
 LSH band AND arrived within ``join_window`` of each other — the streaming
 contract is time-local near-dup detection (a doc cannot pair with one that
 left the watermark). On a static DataFrame the same plan runs without
-watermarks and with DISTINCT pairs, so batch and stream remain one logical
-operator (tested stream == batch on the dup-heavy fixture).
+watermarks, so batch and stream remain one logical operator (tested
+stream == batch on the dup-heavy fixture).
 
 At 100 TB/day ingest: band fan-out is k/rows_per_band rows per doc; join
 state is bounded by the watermark; the exact-duplicate pair bomb is the
@@ -96,7 +96,7 @@ def stream_neardup_candidates(
     rows_per_band: int = 4,
     ngram: int = 3,
     event_time_col: str = "ts",
-    late_threshold: str = "10 minutes",
+    late_threshold: str | None = "10 minutes",
     join_window: str = "10 minutes",
 ) -> DataFrame:
     """(a, b, band_idx, ts_a, ts_b) candidate near-duplicate pairs from a
@@ -109,12 +109,20 @@ def stream_neardup_candidates(
     needing distinct pairs aggregate downstream (distinct-after-join would
     be a second stateful operator; keep the streaming query single-state).
 
-    Static input: identical plan without watermarks, pairs DISTINCT — the
-    unified batch/stream contract (matches ``dedup.lsh_candidate_pairs``'s
-    pair set whenever all docs fall inside one join window)."""
+    ``late_threshold=None`` means the input stream ALREADY carries a
+    watermark — required when composing downstream of another stateful
+    operator (the prescribed ``stream_dedup_exact`` pre-pass), because
+    Spark disallows redefining a watermark mid-query; the upstream
+    watermark propagates through the dedup state and bounds this join's
+    state exactly the same way.
+
+    Static input: identical plan without watermarks — the unified
+    batch/stream contract (matches ``dedup.lsh_candidate_pairs``'s pair set
+    whenever all docs fall inside one join window). Rows are unique on
+    (a, b, band_idx) on both paths by construction."""
     is_streaming = docs.isStreaming
     banded = banded_signatures(docs, k, rows_per_band, ngram, event_time_col)
-    if is_streaming:
+    if is_streaming and late_threshold is not None:
         banded = banded.withWatermark("ts", late_threshold)
     left = banded.select(
         F.col("doc_id").alias("a"),
@@ -138,6 +146,9 @@ def stream_neardup_candidates(
     pairs = left.join(right, cond).select(
         "a", "b", F.col("bi_a").alias("band_idx"), "ts_a", "ts_b"
     )
-    if not is_streaming:
-        return pairs.dropDuplicates(["a", "b", "band_idx"])
+    # no dedup on either path: (a, b, band_idx) is already unique — each doc
+    # emits exactly one row per band_idx, so the band-equality join can
+    # produce at most one row per (pair, band) (ADVICE r4: the old static
+    # dropDuplicates was a no-op that would have picked nondeterministic
+    # ts survivors if the invariant ever broke)
     return pairs
