@@ -25,7 +25,7 @@ from tric_spark.operators import dedup, similarity, tc, textstats
 from tric_spark.operators.cc import connected_components
 from tric_spark.operators.lp import label_propagation
 from tric_spark.operators.pagerank import pagerank
-from tric_spark.sources.doc_graph import DOC_EDGES_SQL, doc_edges
+from tric_spark.sources.doc_graph import DOC_DIRECTED_SQL, DOC_EDGES_SQL, doc_edges
 from tric_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -398,6 +398,52 @@ def q_pagerank_converged(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_hits_iter2(spark, sf_dir):
+    """HITS over the DIRECTED doc link graph (direction kept — hub and
+    authority scores are only distinct on a directed input). Fixed 2
+    iterations so the DuckDB oracle unrolls exactly; 6dp rounding on both
+    sides absorbs float summation-order differences (CLAUDE.md rule)."""
+    from tric_spark.operators.hits import hits
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    directed = doc_edges_directed(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    r = hits(directed, verts, tol=0.0, max_iter=2)
+    return r.select(
+        "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_cocitation(spark, sf_dir):
+    # CAP ASSUMPTION (same as q_minhash_lsh_pairs): Spark runs with the
+    # default max_fanout=100k guard, the oracle is unguarded — parity holds
+    # because no sf0.01/sf0.1 source approaches 100k out-links
+    from tric_spark.operators.cocitation import cocitation_pairs
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    return cocitation_pairs(doc_edges_directed(spark, sf_dir), min_common=2)
+
+
+def q_coupling(spark, sf_dir):
+    # same CAP ASSUMPTION as q_cocitation
+    from tric_spark.operators.cocitation import coupling_pairs
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    return coupling_pairs(doc_edges_directed(spark, sf_dir), min_common=2)
+
+
+def q_related_pages(spark, sf_dir):
+    # same CAP ASSUMPTION as q_cocitation
+    from tric_spark.operators.cocitation import related_pages_topk
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    r = related_pages_topk(doc_edges_directed(spark, sf_dir), k=3, min_common=2)
+    # row_number is int32 in Spark, BIGINT in DuckDB — align for the hash
+    return r.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
@@ -448,6 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pagerank_converged": q_pagerank_converged,
+        "hits_iter2": q_hits_iter2,
+        "cocitation": q_cocitation,
+        "coupling": q_coupling,
+        "related_pages": q_related_pages,
     }
 
 
@@ -598,6 +648,54 @@ def _pagerank_converged_sql(rounds: int = 220) -> str:
     return (
         f"WITH {E}, {', '.join(ctes)}"
         f" SELECT vid, round(rank, 6) AS rank FROM pr{rounds}"
+    )
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """HITS replay over the DIRECTED doc graph, unrolled: per iteration one
+    auth update (sum of in-neighbor hubs, L2-normalized) then one hub update
+    (sum of out-neighbor FRESH auths, L2-normalized) — mirroring
+    operators/hits.py's two half-steps exactly, including the
+    nullif-sqrt→1.0 norm floor and the left-join zero-fill. AS MATERIALIZED
+    for the same exponential-inlining reason as _core_numbers_sql."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT doc_id AS vid FROM documents)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v)",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0/sqrt((SELECT n FROM nv)) AS hub,"
+        " 1.0/sqrt((SELECT n FROM nv)) AS auth FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.vid, coalesce(m.s, 0) AS r"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vid, sum(p.hub) AS s"
+            f" FROM dlinks e JOIN s{p} p ON p.vid = e.src GROUP BY e.dst) m"
+            f" ON m.vid = v.vid)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, r /"
+            f" (SELECT coalesce(nullif(sqrt(sum(r*r)), 0), 1.0) FROM a{i}r)"
+            f" AS auth FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.vid, coalesce(m.s, 0) AS r"
+            f" FROM v LEFT JOIN (SELECT e.src AS vid, sum(a.auth) AS s"
+            f" FROM dlinks e JOIN a{i} a ON a.vid = e.dst GROUP BY e.src) m"
+            f" ON m.vid = v.vid)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT vid, r /"
+            f" (SELECT coalesce(nullif(sqrt(sum(r*r)), 0), 1.0) FROM h{i}r)"
+            f" AS hub FROM h{i}r)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT h.vid, h.hub, a.auth"
+            f" FROM h{i} h JOIN a{i} a ON a.vid = h.vid)"
+        )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
+        f" SELECT vid, round(hub, 6) AS hub, round(auth, 6) AS auth"
+        f" FROM s{iters}"
     )
 
 
@@ -759,6 +857,39 @@ def oracle_sql() -> dict[str, str]:
         "ktruss3_edges": _ktruss_sql(3, _oracle_rounds(10)),
         "truss_numbers": _truss_numbers_sql(_oracle_rounds(14)),
         "pagerank_converged": _pagerank_converged_sql(),
+        "hits_iter2": _hits_sql(iters=2),
+        "cocitation": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()}
+            SELECT l.dst AS a, r.dst AS b, count(*) AS common
+            FROM dlinks l JOIN dlinks r ON r.src = l.src AND l.dst < r.dst
+            GROUP BY l.dst, r.dst HAVING count(*) >= 2
+        """,
+        "coupling": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()}
+            SELECT l.src AS a, r.src AS b, count(*) AS common
+            FROM dlinks l JOIN dlinks r ON r.dst = l.dst AND l.src < r.src
+            GROUP BY l.src, r.src HAVING count(*) >= 2
+        """,
+        "related_pages": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            pairs AS (
+              SELECT l.dst AS a, r.dst AS b, count(*) AS common
+              FROM dlinks l JOIN dlinks r ON r.src = l.src AND l.dst < r.dst
+              GROUP BY l.dst, r.dst HAVING count(*) >= 2
+            ),
+            sides AS (
+              SELECT a AS vid, b AS related, common FROM pairs
+              UNION ALL
+              SELECT b AS vid, a AS related, common FROM pairs
+            ),
+            rk AS (
+              SELECT vid, related, common,
+                     row_number() OVER (PARTITION BY vid
+                                        ORDER BY common DESC, related ASC) AS rnk
+              FROM sides
+            )
+            SELECT vid, related, common, rnk FROM rk WHERE rnk <= 3
+        """,
         "cc_hashmin_step1": f"""
             WITH {E}
             SELECT s.dst AS vid, least(s.dst, min(s.src)) AS comp

@@ -132,6 +132,12 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     # the flagship: per-vertex counts on the self-adjacency kernel
     timed("tc_per_vertex", lambda: tc.triangles_per_vertex_adj2(oriented).count())
     timed("pagerank5", lambda: pagerank(sym, verts, tol=0.0, max_iter=5).count())
+    # NEW r5: HITS — 5 full iterations (10 normalized half-steps) on the
+    # ORIENTED table used as a directed graph (hub/auth only differ with
+    # direction kept)
+    from tric_spark.operators.hits import hits
+
+    timed("hits5", lambda: hits(canon, verts, tol=0.0, max_iter=5).count())
     timed("cc_fixpoint", lambda: connected_components(sym, verts).count())
     timed("lp2", lambda: label_propagation(sym, verts, num_iter=2).count())
 

@@ -157,3 +157,27 @@ def weighted_pagerank_oracle(
             return nxt
         r = nxt
     return r
+
+
+def hits_oracle(
+    pairs_directed, n: int, tol: float = 0.0, max_iter: int = 20
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense HITS power iteration: auth = Aᵀ·hub then L2-normalize, hub =
+    A·auth then L2-normalize (Kleinberg 1999). Returns (hub, auth).
+    ``tol=0`` runs exactly ``max_iter`` iterations (fixed-iteration mode)."""
+    A = np.zeros((n, n))
+    for u, v in pairs_directed:
+        A[u, v] = 1.0
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(max_iter):
+        h0, a0 = hub.copy(), auth.copy()
+        auth = A.T @ hub
+        na = np.linalg.norm(auth)
+        auth = auth / na if na > 0 else auth
+        hub = A @ auth
+        nh = np.linalg.norm(hub)
+        hub = hub / nh if nh > 0 else hub
+        if tol > 0 and max(np.max(np.abs(hub - h0)), np.max(np.abs(auth - a0))) < tol:
+            break
+    return hub, auth

@@ -35,3 +35,14 @@ def test_analytics_consistency(spark):
     assert abs(pr_sum - 1.0) < 1e-9
     assert res["components"].count() == g.n_vertices
     assert res["labels"].count() == g.n_vertices
+
+
+def test_analytics_include_hits(spark):
+    pages = synth.pages_table(spark, 200, seed=11)
+    g = build_link_graph(spark, pages)
+    res = run_analytics(spark, g, pr_max_iter=2, pr_tol=0.0, include_hits=True)
+    rows = res["hits"].collect()
+    assert len(rows) == g.n_vertices
+    # both score vectors are unit-L2 after any full iteration
+    assert abs(sum(r.hub**2 for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.auth**2 for r in rows) - 1.0) < 1e-9

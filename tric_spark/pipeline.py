@@ -108,16 +108,21 @@ def run_analytics(
     pr_tol: float = 1e-6,
     pr_max_iter: int = 100,
     lp_iters: int = 5,
+    include_hits: bool = False,
 ) -> dict[str, DataFrame]:
     """All four kernels over a built graph. With ``checkpoint_dir`` the
-    iterative kernels run under resumable committed checkpoints."""
+    iterative kernels run under resumable committed checkpoints.
+    ``include_hits=True`` adds HITS hub/authority scores over the DIRECTED
+    link graph (opt-in: two shuffles per iteration on top of the default
+    set, and direction-sensitive results only make sense when the caller
+    wants who-links-whom analysis rather than the undirected kernels)."""
 
     def drv(name):
         if checkpoint_dir is None:
             return None
         return SuperstepDriver(spark, os.path.join(checkpoint_dir, name))
 
-    return {
+    out = {
         # auto: the measured r4 kernel-crossover rule (tc.pick_strategy) —
         # Arrow self-adjacency below AUTO_ARROW_MAX_EDGES, JVM join above
         "triangles_per_vertex": tc.triangles_per_vertex(
@@ -129,6 +134,13 @@ def run_analytics(
         "components": connected_components(g.sym, g.verts, driver=drv("cc")),
         "labels": label_propagation(g.sym, g.verts, num_iter=lp_iters, driver=drv("lp")),
     }
+    if include_hits:
+        from tric_spark.operators.hits import hits
+
+        # shares the PageRank budget knobs: both are power iterations with
+        # the same convergence/iteration semantics
+        out["hits"] = hits(g.directed, g.verts, tol=pr_tol, max_iter=pr_max_iter)
+    return out
 
 
 def neardup_with_metrics(

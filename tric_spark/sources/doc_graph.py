@@ -36,6 +36,12 @@ DOC_EDGES_SQL = """
   deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY src)
 """
 
+# the DIRECTED link graph (self-loops dropped, parallel links deduped,
+# direction KEPT) — the input for direction-sensitive kernels (HITS)
+DOC_DIRECTED_SQL = """
+  dlinks AS (SELECT DISTINCT a AS src, b AS dst FROM raw WHERE a <> b)
+"""
+
 
 def doc_edges(spark, sf_dir: str) -> DataFrame:
     """Canonical undirected (src, dst) with src < dst — matches ``und``."""
@@ -59,3 +65,25 @@ def doc_edges(spark, sf_dir: str) -> DataFrame:
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+
+
+def doc_edges_directed(spark, sf_dir: str) -> DataFrame:
+    """Directed deduped (src, dst), self-loops dropped — matches ``dlinks``.
+    Directionality is the point: HITS-style kernels need who-links-whom,
+    not the canonicalized undirected view."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    raw = (
+        docs.select("doc_id", "n_chars")
+        .withColumn(
+            "j", F.explode(F.sequence(F.lit(1), F.lit(1) + F.col("n_chars") % 5))
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") * 37 + F.col("n_chars") * 17 + F.col("j") * F.col("j"))
+                % F.lit(n)
+            ).alias("dst"),
+        )
+    )
+    return raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
