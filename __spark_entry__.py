@@ -398,6 +398,96 @@ def q_pagerank_converged(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_host_edges(spark, sf_dir):
+    """Host-graph rollup: the page-level directed link graph collapsed by
+    the documents' ``source`` (the host key of this corpus) — one weighted
+    edge per ordered host pair, intra-host links dropped."""
+    from tric_spark.operators.hostgraph import collapse_edges
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.select(F.col("doc_id").alias("vid"), F.col("source").alias("grp"))
+    he = collapse_edges(doc_edges_directed(spark, sf_dir), groups)
+    return he.select(
+        F.col("src_grp").alias("src_host"),
+        F.col("dst_grp").alias("dst_host"),
+        "n_links",
+    )
+
+
+def _host_graph(spark, sf_dir):
+    from tric_spark.operators.hostgraph import collapse_edges
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.select(F.col("doc_id").alias("vid"), F.col("source").alias("grp"))
+    he = collapse_edges(doc_edges_directed(spark, sf_dir), groups).select(
+        F.col("src_grp").alias("src_host"),
+        F.col("dst_grp").alias("dst_host"),
+        "n_links",
+    )
+    hosts = docs.select(F.col("source").alias("vid")).distinct()
+    return he, hosts
+
+
+def q_host_pagerank_iter2(spark, sf_dir):
+    """Host-level PageRank (weighted by page-link counts, directed), fixed
+    2 iterations for the unrolled oracle; the SQL replays the weighted
+    kernel's dangling fold exactly (dm/n uniform redistribution)."""
+    from tric_spark.operators.hostgraph import host_pagerank
+
+    he, hosts = _host_graph(spark, sf_dir)
+    r = host_pagerank(he, hosts, tol=0.0, max_iter=2)
+    return r.select(
+        F.col("vid").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """4-step md5-seeded walks from every vertex — every hop replayed
+    verbatim by the unrolled oracle (sorted adjacency + hex-parsed md5
+    index are engine-portable)."""
+    from tric_spark.operators.walks import random_walks
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return random_walks(sym, num_steps=4)
+
+
+def q_neighborhood2(spark, sf_dir):
+    """Exact 2-hop neighborhood sizes — the exact companion of HyperANF."""
+    from tric_spark.operators.anf import k_hop_counts
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return k_hop_counts(sym, k=2)
+
+
+def q_anf_curve(spark, sf_dir):
+    """HyperANF neighborhood function N(h), h=0..6 — md5-seeded HLL
+    registers make the WHOLE approximate algorithm (init, max-merge
+    supersteps, bias-corrected estimate incl. the linear-counting branch)
+    bit-replayable in SQL; 6dp rounding absorbs the global-sum order."""
+    from tric_spark.operators.anf import hyper_anf
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return hyper_anf(sym, verts, max_h=6)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language data-mix sampling (md5-bucketed keys,
+    integer thresholds — no float boundary on either engine)."""
+    from tric_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 1.0, "zh": 0.75},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=0.05,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q_hits_iter2(spark, sf_dir):
     """HITS over the DIRECTED doc link graph (direction kept — hub and
     authority scores are only distinct on a directed input). Fixed 2
@@ -498,6 +588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "coupling": q_coupling,
         "related_pages": q_related_pages,
+        "host_edges": q_host_edges,
+        "host_pagerank_iter2": q_host_pagerank_iter2,
+        "random_walks": q_random_walks,
+        "neighborhood2": q_neighborhood2,
+        "anf_curve": q_anf_curve,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -798,6 +894,116 @@ def _truss_numbers_sql(rounds: int = 16) -> str:
     return f"WITH {E}, {', '.join(ctes)} SELECT src, dst, truss FROM ({unions})"
 
 
+_HOST_GRAPH = """
+  hm AS (SELECT doc_id, source FROM documents),
+  he AS MATERIALIZED (
+    SELECT x.source AS src, y.source AS dst, CAST(count(*) AS DOUBLE) AS w
+    FROM dlinks e JOIN hm x ON x.doc_id = e.src JOIN hm y ON y.doc_id = e.dst
+    WHERE x.source <> y.source GROUP BY x.source, y.source
+  ),
+  hv AS MATERIALIZED (SELECT DISTINCT source AS vid FROM documents),
+  nh AS (SELECT count(*) AS n FROM hv),
+  wt AS MATERIALIZED (SELECT src AS vid, sum(w) AS wt FROM he GROUP BY src)
+"""
+
+
+def _host_pr_sql(iters: int = 2) -> str:
+    """Weighted directed host PageRank unrolled — mirrors
+    operators/pagerank.py::weighted_pagerank INCLUDING the dangling fold:
+    rank = (1-d)/n + d·dm/n + d·in_mass, dm = Σ rank over hosts with no
+    out-links (0 when none exist, collapsing to the dangling-free branch)."""
+    ctes = ["r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nh) AS rank FROM hv)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"dm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}"
+            f" WHERE vid NOT IN (SELECT vid FROM wt))"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(e.w * r.rank / t.wt) AS s"
+            f" FROM he e JOIN r{p} r ON e.src = r.vid JOIN wt t ON t.vid = e.src"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vid,"
+            f" 0.15/(SELECT n FROM nh) + 0.85*(SELECT dm FROM dm{i})/(SELECT n FROM nh)"
+            f" + 0.85*coalesce(m.s, 0) AS rank"
+            f" FROM hv v LEFT JOIN m{i} m ON m.vid = v.vid)"
+        )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
+        f" SELECT vid AS host, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _walks_sql(num_steps: int = 4, seed: int = 42) -> str:
+    """Every hop of operators/walks.py::random_walks replayed: sorted
+    adjacency lists, index = first 6 hex digits of
+    md5('w:seed:walk:step:vid') mod degree, 1-based list pick."""
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs,"
+        " count(*) AS deg FROM sym GROUP BY src)",
+        "w0 AS MATERIALIZED (SELECT src AS walk_id, src AS cur FROM adj)",
+    ]
+    for t in range(1, num_steps + 1):
+        h = (
+            f"md5('w:{seed}:' || w.walk_id::VARCHAR || ':{t}:' || w.cur::VARCHAR)"
+        )
+        idx = f"(('0x' || substr({h}, 1, 6))::BIGINT % a.deg)"
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT w.walk_id,"
+            f" a.nbrs[CAST({idx} AS INT) + 1] AS cur"
+            f" FROM w{t - 1} w JOIN adj a ON a.src = w.cur)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM w{t}"
+        for t in range(num_steps + 1)
+    )
+    return f"WITH {E}, {', '.join(ctes)} SELECT walk_id, step, vid FROM ({unions})"
+
+
+def _anf_sql(max_h: int = 6, seed: str = "anf") -> str:
+    """HyperANF replay — mirrors operators/anf.py exactly: m=16 md5-seeded
+    registers as 16 columns, per-hop elementwise max over self ∪ neighbors,
+    estimate = alpha·m²/Σ2^-r with the linear-counting branch
+    (raw ≤ 2.5m AND zero registers exist → m·ln(m/V)). The register sums
+    Σ2^-r are EXACT in doubles (≤16 powers of two spanning <53 bits), so
+    each per-vertex estimate is bit-identical across engines; the global
+    sum is rounded to 6dp on both sides."""
+    regs = [f"r{k}" for k in range(16)]
+    md5v = f"md5('{seed}:' || vid::VARCHAR)"
+    idx = f"('0x' || substr({md5v}, 1, 1))::BIGINT"
+    fld = f"('0x' || substr({md5v}, 2, 12))::BIGINT"
+    rho = f"CASE WHEN {fld} = 0 THEN 49 ELSE 49 - length(bin({fld})) END"
+    init = ", ".join(
+        f"CASE WHEN {idx} = {k} THEN {rho} ELSE 0 END AS r{k}" for k in range(16)
+    )
+    ctes = [f"s0 AS MATERIALIZED (SELECT vid, {init} FROM deg)"]
+    cols = ", ".join(regs)
+    for t in range(1, max_h + 1):
+        p = t - 1
+        maxes = ", ".join(f"max(r{k}) AS r{k}" for k in range(16))
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT vid, {maxes} FROM ("
+            f"SELECT vid, {cols} FROM s{p}"
+            f" UNION ALL"
+            f" SELECT e.dst AS vid, {cols} FROM sym e JOIN s{p} s ON s.vid = e.src"
+            f") GROUP BY vid)"
+        )
+    z = " + ".join(f"power(2.0, -r{k})" for k in range(16))
+    v = " + ".join(f"CASE WHEN r{k} = 0 THEN 1 ELSE 0 END" for k in range(16))
+    raw = f"(0.673*16*16) / ({z})"
+    est = (
+        f"CASE WHEN {raw} <= 40.0 AND ({v}) > 0"
+        f" THEN 16.0 * ln(16.0 / ({v})) ELSE {raw} END"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS h, round(sum({est}), 6) AS nf FROM s{t}"
+        for t in range(max_h + 1)
+    )
+    return f"WITH {E}, {', '.join(ctes)} SELECT h, nf FROM ({rows})"
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
@@ -889,6 +1095,42 @@ def oracle_sql() -> dict[str, str]:
               FROM sides
             )
             SELECT vid, related, common, rnk FROM rk WHERE rnk <= 3
+        """,
+        "host_edges": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            hm AS (SELECT doc_id, source FROM documents)
+            SELECT x.source AS src_host, y.source AS dst_host,
+                   count(*) AS n_links
+            FROM dlinks e
+            JOIN hm x ON x.doc_id = e.src
+            JOIN hm y ON y.doc_id = e.dst
+            WHERE x.source <> y.source
+            GROUP BY x.source, y.source
+        """,
+        "host_pagerank_iter2": _host_pr_sql(iters=2),
+        "random_walks": _walks_sql(num_steps=4),
+        "neighborhood2": f"""
+            WITH {E},
+            r2 AS (
+              SELECT r.src AS vid, s.dst AS nbr
+              FROM sym r JOIN sym s ON s.src = r.dst
+            ),
+            u AS (
+              SELECT DISTINCT vid, nbr FROM (
+                SELECT src AS vid, dst AS nbr FROM sym
+                UNION ALL SELECT vid, nbr FROM r2
+              ) WHERE nbr <> vid
+            )
+            SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        "anf_curve": _anf_sql(max_h=6),
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('smp:42:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                    % 1000000
+                  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                              WHEN 'fr' THEN 100000 WHEN 'es' THEN 1000000
+                              WHEN 'zh' THEN 750000 ELSE 50000 END
         """,
         "cc_hashmin_step1": f"""
             WITH {E}

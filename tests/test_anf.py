@@ -1,0 +1,122 @@
+"""HyperANF: exact-BFS accuracy envelope, md5 register replay, exact
+k-hop companion, effective-diameter readout."""
+
+import hashlib
+import math
+
+from conftest import edges_df
+from fixtures import STAR10, er_graph
+
+from tric_spark.operators.anf import (
+    ALPHA_16,
+    M,
+    effective_diameter,
+    hyper_anf,
+    k_hop_counts,
+)
+
+
+def _sym(pairs):
+    return sorted(set(pairs) | {(v, u) for u, v in pairs})
+
+
+def _adj(pairs):
+    adj = {}
+    for u, v in _sym(pairs):
+        adj.setdefault(u, set()).add(v)
+    return adj
+
+
+def _exact_nf(pairs, n, max_h):
+    """Exact neighborhood function via BFS: nf[h] = Σ_v |ball(v, h)|."""
+    adj = _adj(pairs)
+    nf = [0] * (max_h + 1)
+    for v in range(n):
+        ball, frontier = {v}, {v}
+        nf[0] += 1
+        for h in range(1, max_h + 1):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - ball
+            ball |= frontier
+            nf[h] += len(ball)
+    return nf
+
+
+def _py_regs(vid, seed="anf"):
+    """Mirror of anf._init_reg_cols: md5 index digit + 48-bit rho field."""
+    h = hashlib.md5(f"{seed}:{vid}".encode()).hexdigest()
+    j = int(h[0], 16)
+    field = int(h[1:13], 16)
+    rho = 49 if field == 0 else 49 - field.bit_length()
+    regs = [0] * M
+    regs[j] = rho
+    return regs
+
+
+def _estimate(regs):
+    z = sum(2.0 ** -r for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    raw = ALPHA_16 * M * M / z
+    if raw <= 2.5 * M and v > 0:
+        return M * math.log(M / v)
+    return raw
+
+
+def test_h0_matches_singleton_estimate_exactly(spark):
+    """At h=0 every ball is {v}: the curve row must equal n times the
+    deterministic singleton estimate (linear counting with V=15)."""
+    n = 30
+    pairs = er_graph(n=n, p_inv=4, seed=2)
+    sym = edges_df(spark, _sym(pairs))
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    row = {r.h: r.nf for r in hyper_anf(sym, verts, max_h=1).collect()}
+    expected = sum(_estimate(_py_regs(v)) for v in range(n))
+    assert abs(row[0] - expected) < 1e-4
+
+
+def test_curve_vs_exact_bfs_within_tolerance(spark):
+    n, max_h = 300, 5
+    pairs = er_graph(n=n, p_inv=60, seed=7)
+    exact = _exact_nf(pairs, n, max_h)
+    sym = edges_df(spark, _sym(pairs))
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    curve = {r.h: r.nf for r in hyper_anf(sym, verts, max_h=max_h).collect()}
+    for h in range(max_h + 1):
+        rel = abs(curve[h] - exact[h]) / exact[h]
+        assert rel < 0.15, (h, curve[h], exact[h])
+    assert curve[max_h] >= curve[0]
+
+
+def test_star_effective_diameter(spark):
+    sym = edges_df(spark, _sym(STAR10))
+    verts = spark.range(11).withColumnRenamed("id", "vid")
+    curve = hyper_anf(sym, verts, max_h=4)
+    d = effective_diameter(curve, fraction=0.9)
+    # star: every pair within 2 hops — the curve plateaus at h=2
+    assert 0.0 < d <= 2.0
+    vals = {r.h: r.nf for r in curve.collect()}
+    assert abs(vals[2] - vals[4]) < 1e-9
+
+
+def test_k_hop_counts_exact(spark):
+    n = 80
+    pairs = er_graph(n=n, p_inv=10, seed=13)
+    adj = _adj(pairs)
+    expect = {}
+    for v in adj:
+        two = set(adj[v]) | {w for u in adj[v] for w in adj[u]}
+        two.discard(v)
+        expect[v] = len(two)
+    sym = edges_df(spark, _sym(pairs))
+    got = {r.vid: r.n_reach for r in k_hop_counts(sym, k=2).collect()}
+    assert got == expect
+
+
+def test_parallelism_invariant(spark):
+    n = 50
+    pairs = er_graph(n=n, p_inv=5, seed=21)
+    verts = spark.range(n).withColumnRenamed("id", "vid")
+    a = hyper_anf(edges_df(spark, _sym(pairs)), verts, max_h=3).collect()
+    b = hyper_anf(
+        edges_df(spark, _sym(pairs)).repartition(17), verts, max_h=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
