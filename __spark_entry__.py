@@ -488,6 +488,55 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals over the full corpus: char
+    fraction of the top word 2-gram and of all duplicated word 3-grams —
+    every doc appears, shorts score 0.0 (Rae et al. 2021 Table A1)."""
+    from tric_spark.operators.repetition import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: docs with doc_id % 97 == 0 stand in
+    for the held-out benchmark; every remaining doc sharing a token 3-gram
+    with it is flagged with its distinct-gram hit count."""
+    from tric_spark.operators.contamination import contaminated_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_docs(corpus, bench, ngram=3)
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus top-50 vocabulary with occurrence and document frequencies —
+    deterministic under the (count desc, token asc) total order."""
+    from tric_spark.operators.textstats import vocabulary
+
+    return vocabulary(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def q_reciprocity(spark, sf_dir):
+    """Link reciprocity of the DIRECTED doc graph — one row (n_edges,
+    n_reciprocal, reciprocity)."""
+    from tric_spark.operators.digraph_stats import reciprocity
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    return reciprocity(doc_edges_directed(spark, sf_dir))
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the undirected doc graph —
+    Pearson corr of endpoint degrees over both edge orientations; sample/
+    population normalization cancels inside corr, so Spark and DuckDB
+    agree at 6dp."""
+    from tric_spark.operators.digraph_stats import degree_assortativity
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return degree_assortativity(sym, deg)
+
+
 def q_hits_iter2(spark, sf_dir):
     """HITS over the DIRECTED doc link graph (direction kept — hub and
     authority scores are only distinct on a directed input). Fixed 2
@@ -594,6 +643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "sample_stratified": q_sample_stratified,
+        "repetition_metrics": q_repetition_metrics,
+        "vocabulary": q_vocabulary,
+        "contamination": q_contamination,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
     }
 
 
@@ -1131,6 +1185,97 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                               WHEN 'fr' THEN 100000 WHEN 'es' THEN 1000000
                               WHEN 'zh' THEN 750000 ELSE 50000 END
+        """,
+        # mirrors operators/repetition.py exactly: positional (non-distinct)
+        # word n-grams; top gram = max count, tie -> lexicographically
+        # smallest; dup mass = sum over grams occurring >= 2 times
+        "repetition_metrics": f"""
+            WITH {_TOKS},
+            pg2 AS (
+              SELECT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM pg2 GROUP BY doc_id, g),
+            t2 AS (SELECT doc_id, c*length(g) AS mass,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, g ASC) AS rn
+                   FROM c2),
+            tm AS (SELECT doc_id, mass FROM t2 WHERE rn = 1),
+            pg3 AS (
+              SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM pg3 GROUP BY doc_id, g),
+            dm AS (SELECT doc_id, sum(c*length(g)) AS mass FROM c3
+                   WHERE c >= 2 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(tm.mass, 0) / greatest(length(d.text), 1), 6)
+                     AS top2_frac,
+                   round(least(1.0, coalesce(dm.mass, 0)
+                                    / greatest(length(d.text), 1)), 6)
+                     AS dup3_frac
+            FROM documents d LEFT JOIN tm USING (doc_id)
+                             LEFT JOIN dm USING (doc_id)
+        """,
+        "vocabulary": f"""
+            WITH {_TOKS},
+            occ AS (
+              SELECT token, count(*) AS n_occurrences
+              FROM (SELECT unnest(t) AS token FROM toks)
+              WHERE token <> '' GROUP BY token
+            ),
+            pd AS (
+              SELECT token, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, token
+                    FROM (SELECT doc_id, unnest(t) AS token FROM toks))
+              WHERE token <> '' GROUP BY token
+            ),
+            rk AS (
+              SELECT token, n_occurrences,
+                     row_number() OVER (ORDER BY n_occurrences DESC,
+                                        token ASC) AS rank
+              FROM occ
+            )
+            SELECT rk.token, rk.n_occurrences, pd.n_docs, rk.rank
+            FROM rk JOIN pd USING (token) WHERE rk.rank <= 50
+        """,
+        # doc_id % 97 == 0 docs are the stand-in benchmark; both gram sets
+        # distinct, so the count is a set-intersection size
+        "contamination": f"""
+            WITH {_TOKS},
+            bg AS (
+              SELECT DISTINCT array_to_string(list_slice(t, i, i+2), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3 AND doc_id % 97 = 0
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                              array_to_string(list_slice(t, i, i+2), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3 AND doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(*) AS n_matched_grams
+            FROM dg JOIN bg USING (g) GROUP BY doc_id
+        """,
+        "reciprocity": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            ce AS (SELECT DISTINCT src, dst FROM dlinks WHERE src <> dst),
+            mp AS (SELECT count(*) AS c FROM ce a
+                   JOIN ce b ON a.src = b.dst AND a.dst = b.src
+                   WHERE a.src < a.dst)
+            SELECT (SELECT count(*) FROM ce) AS n_edges,
+                   2*mp.c AS n_reciprocal,
+                   round(2*mp.c / greatest((SELECT count(*) FROM ce), 1), 6)
+                     AS reciprocity
+            FROM mp
+        """,
+        "assortativity": f"""
+            WITH {E}
+            SELECT round(corr(du.degree, dv.degree), 6) AS assortativity
+            FROM sym s JOIN deg du ON du.vid = s.src
+                       JOIN deg dv ON dv.vid = s.dst
         """,
         "cc_hashmin_step1": f"""
             WITH {E}

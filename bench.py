@@ -189,6 +189,17 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
         lambda: similarity.embedding_neardup_pairs(emb, threshold=0.4).count(),
     )
 
+    # NEW r5: HyperANF neighborhood function (6 hops, 16 registers as int
+    # columns), md5-seeded random walks (4 hops), and the Gopher
+    # repetition-metrics quality pass
+    from tric_spark.operators.anf import hyper_anf
+    from tric_spark.operators.repetition import repetition_metrics
+    from tric_spark.operators.walks import random_walks
+
+    timed("anf6", lambda: hyper_anf(sym, verts, max_h=6).count())
+    timed("walks4", lambda: random_walks(sym, num_steps=4).count())
+    timed("repetition", lambda: repetition_metrics(docs).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]

@@ -111,3 +111,47 @@ def fingerprints(docs: DataFrame, shingle: int = 5) -> DataFrame:
         F.array_min(windows)
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def vocabulary(docs: DataFrame, k: int = 1000) -> DataFrame:
+    """(token, n_occurrences, n_docs, rank) — the corpus's top-``k`` tokens
+    by total occurrence count: the vocabulary-building pass of a training
+    pipeline (and the input a BPE trainer would start from).
+
+    Total order (count desc, token asc) makes the top-k deterministic and
+    oracle-replayable. 100-TB shape: one explode + one map-side-combined
+    groupBy keyed by token, then a two-phase partial top-k (the
+    similarity._partial_topk pattern): phase 1 keeps k per input partition
+    — many small parallel sorts — so the global rank only ever sees
+    ≤ k·n_partitions survivors, never the full distinct-token table (web
+    noise makes that table corpus-scale, not vocab-scale)."""
+    counts = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    part = Window.partitionBy("_pid").orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    survivors = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .withColumn("prn", F.row_number().over(part))
+        .filter(F.col("prn") <= k)
+        .drop("_pid", "prn")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(per_doc, "token")
+        .select("token", "n_occurrences", "n_docs", "rank")
+    )
