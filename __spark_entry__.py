@@ -583,6 +583,48 @@ def q_related_pages(spark, sf_dir):
     return r.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_segment_dedup(spark, sf_dir):
+    """MassiveText/C4-style corpus passage dedup: non-overlapping 4-token
+    windows, first global occurrence kept, docs reassembled in order
+    (~6% of sf0.01 segments are corpus duplicates — non-trivial signal)."""
+    from tric_spark.operators.segdedup import dedup_segments
+
+    return dedup_segments(load_table(spark, sf_dir, "documents"), seg_tokens=4)
+
+
+def q_duplicated_segments(spark, sf_dir):
+    """Audit view of the passage-dedup pass: every non-first occurrence of
+    a duplicated 4-token segment with the occurrence it duplicates."""
+    from tric_spark.operators.segdedup import duplicated_segments
+
+    return duplicated_segments(load_table(spark, sf_dir, "documents"), seg_tokens=4)
+
+
+def q_scc_labels(spark, sf_dir):
+    """Strongly connected components of the DIRECTED doc graph via the
+    multi-pivot trim/color/extract supersteps — labels are the component's
+    min vid, replayed by a mutual-reachability closure oracle."""
+    from tric_spark.operators.scc import strongly_connected_components
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    return strongly_connected_components(doc_edges_directed(spark, sf_dir), verts)
+
+
+def q_bowtie_regions(spark, sf_dir):
+    """Broder bow-tie decomposition relative to the largest SCC: CORE/IN/
+    OUT/TENDRIL/DISCONNECTED per vertex (WWW 2000 web-structure map)."""
+    from tric_spark.operators.scc import bowtie
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    return bowtie(doc_edges_directed(spark, sf_dir), verts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
@@ -648,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
+        "segment_dedup": q_segment_dedup,
+        "duplicated_segments": q_duplicated_segments,
+        "scc_labels": q_scc_labels,
+        "bowtie_regions": q_bowtie_regions,
     }
 
 
@@ -1680,6 +1726,126 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # segment (passage) dedup: non-overlapping 4-token windows; first
+        # global (doc_id, seg_idx) occurrence kept. Envelope: fixture texts
+        # are non-empty, so the empty-text [""] degenerate segment never
+        # arises at oracle scale (unit-tested Spark-side).
+        "segment_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            segs AS (
+              SELECT doc_id, j-1 AS seg_idx,
+                     array_to_string(list_slice(t, (j-1)*4+1, (j-1)*4+4), ' ')
+                       AS seg
+              FROM toks,
+                   unnest(generate_series(1,
+                     greatest(CAST(ceil(len(t)/4.0) AS BIGINT), 1))) AS u(j)
+            ),
+            rn AS (SELECT doc_id, seg_idx, seg,
+                          row_number() OVER (PARTITION BY seg
+                                             ORDER BY doc_id, seg_idx) AS rn
+                   FROM segs)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                       ORDER BY seg_idx), '') AS text_clean,
+                   count(*) AS n_segs,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM rn GROUP BY doc_id
+        """,
+        "duplicated_segments": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            segs AS (
+              SELECT doc_id, j-1 AS seg_idx,
+                     array_to_string(list_slice(t, (j-1)*4+1, (j-1)*4+4), ' ')
+                       AS seg
+              FROM toks,
+                   unnest(generate_series(1,
+                     greatest(CAST(ceil(len(t)/4.0) AS BIGINT), 1))) AS u(j)
+            ),
+            w AS (SELECT doc_id, seg_idx, seg,
+                         row_number() OVER (PARTITION BY seg
+                                            ORDER BY doc_id, seg_idx) AS rn,
+                         first_value(doc_id) OVER (PARTITION BY seg
+                                            ORDER BY doc_id, seg_idx)
+                           AS first_id,
+                         first_value(seg_idx) OVER (PARTITION BY seg
+                                            ORDER BY doc_id, seg_idx)
+                           AS first_seg_idx
+                  FROM segs)
+            SELECT doc_id, seg_idx, seg, first_id, first_seg_idx
+            FROM w WHERE rn > 1
+        """,
+        # SCC = mutual-reachability classes; label = min member vid. The
+        # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        "scc_labels": f"""
+            WITH RECURSIVE {E}, {DOC_DIRECTED_SQL.strip()},
+            r(a, b) AS (
+              SELECT src, dst FROM dlinks
+              UNION
+              SELECT r.a, d.dst FROM r JOIN dlinks d ON d.src = r.b
+            ),
+            mut AS (
+              SELECT r1.a AS vid, r1.b AS u
+              FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+            )
+            SELECT d.doc_id AS vid,
+                   least(d.doc_id, coalesce(min(m.u), d.doc_id)) AS scc
+            FROM documents d LEFT JOIN mut m ON m.vid = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        # bow-tie relative to the largest SCC (ties: smallest label); the
+        # CASE order mirrors operators/scc.py:bowtie exactly (CORE before
+        # IN before OUT before TENDRIL); weak reachability rides `sym`,
+        # which IS the symmetrized closure of dlinks.
+        "bowtie_regions": f"""
+            WITH RECURSIVE {E}, {DOC_DIRECTED_SQL.strip()},
+            r(a, b) AS (
+              SELECT src, dst FROM dlinks
+              UNION
+              SELECT r.a, d.dst FROM r JOIN dlinks d ON d.src = r.b
+            ),
+            mut AS (
+              SELECT r1.a AS vid, r1.b AS u
+              FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            scc AS (
+              SELECT d.doc_id AS vid,
+                     least(d.doc_id, coalesce(min(m.u), d.doc_id)) AS label
+              FROM documents d LEFT JOIN mut m ON m.vid = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            core_id AS (
+              SELECT label FROM (SELECT label, count(*) AS n FROM scc
+                                 GROUP BY label)
+              ORDER BY n DESC, label ASC LIMIT 1
+            ),
+            coreset AS (SELECT vid FROM scc
+                        WHERE label = (SELECT label FROM core_id)),
+            fwd(v) AS (
+              SELECT vid FROM coreset
+              UNION
+              SELECT d.dst FROM fwd JOIN dlinks d ON d.src = fwd.v
+            ),
+            bwd(v) AS (
+              SELECT vid FROM coreset
+              UNION
+              SELECT d.src FROM bwd JOIN dlinks d ON d.dst = bwd.v
+            ),
+            wk(v) AS (
+              SELECT vid FROM coreset
+              UNION
+              SELECT s.dst FROM wk JOIN sym s ON s.src = wk.v
+            )
+            SELECT s.vid,
+                   CASE WHEN s.label = (SELECT label FROM core_id) THEN 'CORE'
+                        WHEN s.vid IN (SELECT v FROM bwd) THEN 'IN'
+                        WHEN s.vid IN (SELECT v FROM fwd) THEN 'OUT'
+                        WHEN s.vid IN (SELECT v FROM wk) THEN 'TENDRIL'
+                        ELSE 'DISCONNECTED' END AS region
+            FROM scc s
         """,
     }
 
