@@ -443,6 +443,87 @@ def q_host_pagerank_iter2(spark, sf_dir):
     )
 
 
+def q_trustrank_iter2(spark, sf_dir):
+    """Host-level TrustRank (Gyöngyi et al., VLDB'04): weighted PageRank
+    whose teleport vector is the deterministic md5-digit trusted-seed
+    subset of hosts; 2 fixed iterations for the unrolled oracle. Dangling
+    mass teleports back to the seeds (∝ e), replayed exactly in SQL."""
+    from tric_spark.operators.trustrank import host_trustrank, trusted_seed_hosts
+
+    he, hosts = _host_graph(spark, sf_dir)
+    r = host_trustrank(he, hosts, trusted_seed_hosts(hosts), tol=0.0, max_iter=2)
+    return r.select(F.col("vid").alias("host"), F.round("rank", 6).alias("rank"))
+
+
+def q_spam_mass_hosts(spark, sf_dir):
+    """Spam-mass estimation (Gyöngyi et al., VLDB'06): per host, uniform-
+    teleport PageRank vs trusted-seed TrustRank at the same fixed 2
+    iterations; mass = PR − TR and rel_mass = mass/PR computed on the
+    unrounded doubles, 6dp-rounded for the hash gate."""
+    from tric_spark.operators.hostgraph import host_pagerank
+    from tric_spark.operators.trustrank import (
+        host_trustrank,
+        spam_mass,
+        trusted_seed_hosts,
+    )
+
+    he, hosts = _host_graph(spark, sf_dir)
+    pr = host_pagerank(he, hosts, tol=0.0, max_iter=2)
+    tr = host_trustrank(he, hosts, trusted_seed_hosts(hosts), tol=0.0, max_iter=2)
+    sm = spam_mass(pr, tr)
+    return sm.select(
+        F.col("vid").alias("host"),
+        F.round("pr", 6).alias("pr"),
+        F.round("tr", 6).alias("tr"),
+        F.round("mass", 6).alias("mass"),
+        F.round("rel_mass", 6).alias("rel_mass"),
+    )
+
+
+def q_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness (Brandes & Pich 2007) over the
+    undirected doc graph: deterministic pivots vid % 41 == 0, BFS + σ
+    counting + dependency back-propagation all replayed level-by-level by
+    the unrolled oracle; both sides truncate at max_depth=10, so parity
+    holds at any diameter. σ/δ ride as DOUBLE on both engines."""
+    from tric_spark.operators.betweenness import betweenness_approx
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    piv = verts.filter(F.col("vid") % 41 == 0)
+    r = betweenness_approx(sym, verts, piv, max_depth=10)
+    return r.select("vid", F.round("bc", 6).alias("bc"))
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier prioritization (Cho/Garcia-Molina WWW'98): docs with
+    doc_id % 7 == 0 stand in for the UNCRAWLED frontier; PageRank (2 fixed
+    iterations) over the crawled-induced subgraph; each frontier target
+    scored by the rank mass its crawled in-linkers push at it (full-outdeg
+    denominators); top-5 per host under the politeness budget. Ordering
+    uses the 6dp-rounded score + vid tiebreak on both engines."""
+    from tric_spark.operators.frontier import (
+        frontier_scores,
+        frontier_topk_per_host,
+    )
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    docs = load_table(spark, sf_dir, "documents")
+    directed = doc_edges_directed(spark, sf_dir)
+    crawled = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("vid")
+    )
+    e_c = directed.join(crawled.withColumnRenamed("vid", "src"), "src")
+    induced = e_c.join(crawled.withColumnRenamed("vid", "dst"), "dst").select(
+        "src", "dst"
+    )
+    pr = pagerank(induced, crawled, tol=0.0, max_iter=2)
+    scores = frontier_scores(directed, crawled, pr)
+    host_map = docs.select(
+        F.col("doc_id").alias("vid"), F.col("source").alias("host")
+    )
+    return frontier_topk_per_host(scores, host_map, k=5)
+
+
 def q_random_walks(spark, sf_dir):
     """4-step md5-seeded walks from every vertex — every hop replayed
     verbatim by the unrolled oracle (sorted adjacency + hex-parsed md5
@@ -681,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_pages": q_related_pages,
         "host_edges": q_host_edges,
         "host_pagerank_iter2": q_host_pagerank_iter2,
+        "trustrank_iter2": q_trustrank_iter2,
+        "spam_mass_hosts": q_spam_mass_hosts,
+        "crawl_frontier": q_crawl_frontier,
+        "betweenness": q_betweenness,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -1007,32 +1092,221 @@ _HOST_GRAPH = """
 """
 
 
-def _host_pr_sql(iters: int = 2) -> str:
+def _host_pr_ctes(iters: int, pfx: str = "r") -> list[str]:
     """Weighted directed host PageRank unrolled — mirrors
     operators/pagerank.py::weighted_pagerank INCLUDING the dangling fold:
     rank = (1-d)/n + d·dm/n + d·in_mass, dm = Σ rank over hosts with no
-    out-links (0 when none exist, collapsing to the dangling-free branch)."""
-    ctes = ["r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nh) AS rank FROM hv)"]
+    out-links (0 when none exist, collapsing to the dangling-free branch).
+    CTE names are prefixed so two chains can share one WITH block."""
+    ctes = [
+        f"{pfx}0 AS MATERIALIZED"
+        " (SELECT vid, 1.0/(SELECT n FROM nh) AS rank FROM hv)"
+    ]
     for i in range(1, iters + 1):
         p = i - 1
         ctes.append(
-            f"dm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}"
-            f" WHERE vid NOT IN (SELECT vid FROM wt))"
+            f"{pfx}dm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm"
+            f" FROM {pfx}{p} WHERE vid NOT IN (SELECT vid FROM wt))"
         )
         ctes.append(
-            f"m{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(e.w * r.rank / t.wt) AS s"
-            f" FROM he e JOIN r{p} r ON e.src = r.vid JOIN wt t ON t.vid = e.src"
-            f" GROUP BY e.dst)"
+            f"{pfx}m{i} AS MATERIALIZED (SELECT g.dst AS vid,"
+            f" sum(g.w * r.rank / t.wt) AS s"
+            f" FROM he g JOIN {pfx}{p} r ON g.src = r.vid"
+            f" JOIN wt t ON t.vid = g.src GROUP BY g.dst)"
         )
         ctes.append(
-            f"r{i} AS MATERIALIZED (SELECT v.vid,"
-            f" 0.15/(SELECT n FROM nh) + 0.85*(SELECT dm FROM dm{i})/(SELECT n FROM nh)"
+            f"{pfx}{i} AS MATERIALIZED (SELECT v.vid,"
+            f" 0.15/(SELECT n FROM nh)"
+            f" + 0.85*(SELECT dm FROM {pfx}dm{i})/(SELECT n FROM nh)"
             f" + 0.85*coalesce(m.s, 0) AS rank"
-            f" FROM hv v LEFT JOIN m{i} m ON m.vid = v.vid)"
+            f" FROM hv v LEFT JOIN {pfx}m{i} m ON m.vid = v.vid)"
         )
+    return ctes
+
+
+def _host_pr_sql(iters: int = 2) -> str:
+    ctes = _host_pr_ctes(iters)
     return (
         f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
         f" SELECT vid AS host, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+# deterministic trusted-seed rule replayed verbatim from
+# operators/trustrank.py::trusted_seed_hosts (md5 hex is engine-portable)
+_TR_SEED_CTES = (
+    "seeds AS MATERIALIZED (SELECT vid FROM hv"
+    " WHERE ('0x' || substr(md5(vid), 1, 1))::BIGINT < 4)",
+    "ns AS (SELECT count(*) AS n FROM seeds)",
+    "ev AS MATERIALIZED (SELECT v.vid, CASE WHEN s.vid IS NOT NULL"
+    " THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS e"
+    " FROM hv v LEFT JOIN seeds s ON s.vid = v.vid)",
+)
+
+
+def _host_tr_ctes(iters: int, pfx: str = "t") -> list[str]:
+    """Weighted host TrustRank unrolled — mirrors
+    operators/trustrank.py::trustrank: init rank = e (the teleport
+    vector), rank = (1−d)·e + d·(in_mass + dm·e); dangling mass teleports
+    back to the seeds ∝ e. Requires the _TR_SEED_CTES block."""
+    ctes = [f"{pfx}0 AS MATERIALIZED (SELECT vid, e AS rank FROM ev)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"{pfx}dm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm"
+            f" FROM {pfx}{p} WHERE vid NOT IN (SELECT vid FROM wt))"
+        )
+        ctes.append(
+            f"{pfx}m{i} AS MATERIALIZED (SELECT g.dst AS vid,"
+            f" sum(g.w * r.rank / t.wt) AS s"
+            f" FROM he g JOIN {pfx}{p} r ON g.src = r.vid"
+            f" JOIN wt t ON t.vid = g.src GROUP BY g.dst)"
+        )
+        ctes.append(
+            f"{pfx}{i} AS MATERIALIZED (SELECT v.vid,"
+            f" 0.15*v.e + 0.85*(coalesce(m.s, 0)"
+            f" + (SELECT dm FROM {pfx}dm{i})*v.e) AS rank"
+            f" FROM ev v LEFT JOIN {pfx}m{i} m ON m.vid = v.vid)"
+        )
+    return ctes
+
+
+def _host_trustrank_sql(iters: int = 2) -> str:
+    ctes = list(_TR_SEED_CTES) + _host_tr_ctes(iters)
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
+        f" SELECT vid AS host, round(rank, 6) AS rank FROM t{iters}"
+    )
+
+
+def _host_spam_mass_sql(iters: int = 2) -> str:
+    """VLDB'06 spam-mass estimation: both rank chains (uniform-teleport PR
+    and seed-teleport TR) unrolled side-by-side in one WITH block; mass and
+    rel_mass computed from the UNROUNDED doubles, rounded 6dp at the end —
+    mirrors q_spam_mass_hosts exactly."""
+    ctes = (
+        _host_pr_ctes(iters, pfx="p")
+        + list(_TR_SEED_CTES)
+        + _host_tr_ctes(iters, pfx="t")
+    )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
+        f" SELECT p.vid AS host, round(p.rank, 6) AS pr, round(t.rank, 6) AS tr,"
+        f" round(p.rank - t.rank, 6) AS mass,"
+        f" round((p.rank - t.rank) / p.rank, 6) AS rel_mass"
+        f" FROM p{iters} p JOIN t{iters} t ON t.vid = p.vid"
+    )
+
+
+def _betweenness_sql(max_depth: int = 10, mod: int = 41) -> str:
+    """Full pivot-Brandes replay — mirrors operators/betweenness.py level
+    by level: forward BFS with σ sums (anti-join vs the cumulative visited
+    set), backward δ(v) = σ_v·Σ(1+δ_w)/σ_w per level, estimate scaled
+    n/k and halved for the undirected convention. σ/δ are DOUBLE on both
+    engines; levels beyond the true diameter are empty no-ops, so both
+    sides truncate identically at max_depth."""
+    ctes = [
+        f"piv AS MATERIALIZED (SELECT vid AS s FROM deg WHERE vid % {mod} = 0)",
+        "kk AS (SELECT count(*) AS k FROM piv)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "l0 AS MATERIALIZED"
+        " (SELECT s, s AS vid, CAST(1 AS DOUBLE) AS sigma FROM piv)",
+        "v0 AS MATERIALIZED (SELECT s, vid FROM l0)",
+    ]
+    for i in range(1, max_depth + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT f.s, e.dst AS vid,"
+            f" sum(f.sigma) AS sigma"
+            f" FROM l{p} f JOIN sym e ON e.src = f.vid"
+            f" LEFT JOIN v{p} x ON x.s = f.s AND x.vid = e.dst"
+            f" WHERE x.vid IS NULL GROUP BY f.s, e.dst)"
+        )
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT s, vid FROM v{p}"
+            f" UNION ALL SELECT s, vid FROM l{i})"
+        )
+    ctes.append(
+        f"d{max_depth} AS MATERIALIZED (SELECT s, vid, sigma,"
+        f" CAST(0 AS DOUBLE) AS delta FROM l{max_depth})"
+    )
+    for lvl in range(max_depth - 1, -1, -1):
+        ctes.append(
+            f"d{lvl} AS MATERIALIZED (SELECT c.s, c.vid, c.sigma,"
+            f" c.sigma * coalesce(m.ms, 0) AS delta"
+            f" FROM l{lvl} c LEFT JOIN ("
+            f"   SELECT w.s, e.dst AS vid, sum((1 + w.delta) / w.sigma) AS ms"
+            f"   FROM d{lvl + 1} w JOIN sym e ON e.src = w.vid"
+            f"   GROUP BY w.s, e.dst"
+            f" ) m ON m.s = c.s AND m.vid = c.vid)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT s, vid, delta FROM d{i}" for i in range(max_depth + 1)
+    )
+    ctes.append(
+        f"dep AS (SELECT vid, sum(delta) AS dp FROM ({unions})"
+        f" WHERE vid <> s GROUP BY vid)"
+    )
+    return (
+        f"WITH {E}, {', '.join(ctes)}"
+        f" SELECT g.vid, round(coalesce(dep.dp, 0)"
+        f" * (SELECT n FROM nn) / (SELECT k FROM kk) / 2.0, 6) AS bc"
+        f" FROM deg g LEFT JOIN dep ON dep.vid = g.vid"
+    )
+
+
+def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
+    """Unrolled crawled-subgraph PageRank + frontier mass aggregation +
+    per-host top-k — mirrors q_crawl_frontier: PR over the crawled-induced
+    subgraph (induced out-degrees, uniform dangling fold), frontier score
+    over FULL out-degrees, window ordered by the 6dp-rounded score."""
+    ctes = [
+        "cr AS MATERIALIZED"
+        " (SELECT doc_id AS vid FROM documents WHERE doc_id % 7 <> 0)",
+        "ncr AS (SELECT count(*) AS n FROM cr)",
+        "ec AS MATERIALIZED (SELECT e.src, e.dst FROM dlinks e"
+        " JOIN cr c ON c.vid = e.src)",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS od FROM ec GROUP BY src)",
+        "ind AS MATERIALIZED (SELECT e.src, e.dst FROM ec e"
+        " JOIN cr c ON c.vid = e.dst)",
+        "iod AS MATERIALIZED (SELECT src AS vid, count(*) AS od"
+        " FROM ind GROUP BY src)",
+        "c0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM ncr) AS rank FROM cr)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"cdm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm"
+            f" FROM c{p} WHERE vid NOT IN (SELECT vid FROM iod))"
+        )
+        ctes.append(
+            f"cm{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(r.rank / o.od) AS s"
+            f" FROM ind e JOIN c{p} r ON r.vid = e.src"
+            f" JOIN iod o ON o.vid = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v.vid,"
+            f" 0.15/(SELECT n FROM ncr)"
+            f" + 0.85*(SELECT dm FROM cdm{i})/(SELECT n FROM ncr)"
+            f" + 0.85*coalesce(m.s, 0) AS rank"
+            f" FROM cr v LEFT JOIN cm{i} m ON m.vid = v.vid)"
+        )
+    ctes.append(
+        f"fr AS MATERIALIZED (SELECT e.dst AS vid, sum(r.rank / o.od) AS score,"
+        f" count(*) AS n_inlinks"
+        f" FROM ec e JOIN c{iters} r ON r.vid = e.src"
+        f" JOIN odeg o ON o.src = e.src"
+        f" WHERE e.dst NOT IN (SELECT vid FROM cr) GROUP BY e.dst)"
+    )
+    ctes.append(
+        "sc AS (SELECT d.source AS host, f.vid, round(f.score, 6) AS score,"
+        " f.n_inlinks, row_number() OVER (PARTITION BY d.source"
+        " ORDER BY round(f.score, 6) DESC, f.vid) AS rnk"
+        " FROM fr f JOIN documents d ON d.doc_id = f.vid)"
+    )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
+        f" SELECT host, vid, score, n_inlinks, rnk FROM sc WHERE rnk <= {k}"
     )
 
 
@@ -1208,6 +1482,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY x.source, y.source
         """,
         "host_pagerank_iter2": _host_pr_sql(iters=2),
+        "trustrank_iter2": _host_trustrank_sql(iters=2),
+        "spam_mass_hosts": _host_spam_mass_sql(iters=2),
+        "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
+        "betweenness": _betweenness_sql(max_depth=10, mod=41),
         "random_walks": _walks_sql(num_steps=4),
         "neighborhood2": f"""
             WITH {E},
