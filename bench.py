@@ -200,6 +200,53 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     timed("walks4", lambda: random_walks(sym, num_steps=4).count())
     timed("repetition", lambda: repetition_metrics(docs).count())
 
+    # NEW r5 (late-round): seed-teleport weighted PageRank (TrustRank, 5
+    # supersteps on the page graph — measures the (vid, rank, e)-state
+    # kernel at full edge count), pivot-Brandes betweenness (~n/4001
+    # pivots, depth-8 truncation — forward σ-BFS + backward δ supersteps),
+    # and crawl-frontier scoring (2-iter PR on the crawled-induced doc
+    # subgraph + frontier mass + per-host top-k window)
+    from tric_spark.operators.betweenness import betweenness_approx
+    from tric_spark.operators.frontier import (
+        frontier_scores,
+        frontier_topk_per_host,
+    )
+    from tric_spark.operators.trustrank import trusted_seed_hosts, trustrank
+
+    seeds = trusted_seed_hosts(verts).cache()
+    seeds.count()
+    canon_w = canon.withColumn("weight", F.lit(1.0))
+    timed(
+        "trustrank5",
+        lambda: trustrank(canon_w, verts, seeds, tol=0.0, max_iter=5).count(),
+    )
+    piv = verts.filter(F.col("vid") % 4001 == 0)
+    timed(
+        "betweenness",
+        lambda: betweenness_approx(sym, verts, piv, max_depth=8).count(),
+    )
+
+    def _frontier():
+        from tric_spark.sources.doc_graph import doc_edges_directed
+
+        directed = doc_edges_directed(spark, sf_dir)
+        crawled = docs.filter(F.col("doc_id") % 7 != 0).select(
+            F.col("doc_id").alias("vid")
+        )
+        e_c = directed.join(crawled.withColumnRenamed("vid", "src"), "src")
+        induced = e_c.join(
+            crawled.withColumnRenamed("vid", "dst"), "dst"
+        ).select("src", "dst")
+        pr = pagerank(induced, crawled, tol=0.0, max_iter=2)
+        host_map = docs.select(
+            F.col("doc_id").alias("vid"), F.col("source").alias("host")
+        )
+        return frontier_topk_per_host(
+            frontier_scores(directed, crawled, pr), host_map, k=5
+        ).count()
+
+    timed("crawl_frontier", _frontier)
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]

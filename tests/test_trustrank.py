@@ -135,6 +135,36 @@ def test_spam_mass_flags_the_farm(spark):
     assert all(sm["p"].pr > sm[f"f{i}"].pr for i in range(1, 5))
 
 
+def test_anti_trustrank_flags_linkers_to_spam(spark):
+    """x → spam, y → clean: distrust flows BACKWARD from the blacklist, so
+    x (who links to spam) scores high and y scores exactly 0."""
+    from tric_spark.operators.trustrank import anti_trustrank
+
+    e = _wedges(
+        spark,
+        [("x", "spam", 1), ("y", "clean", 1), ("spam", "x", 1), ("clean", "y", 1)],
+    )
+    hosts = _hosts(spark, ["x", "y", "spam", "clean"])
+    r = {
+        x.vid: x.rank
+        for x in anti_trustrank(
+            e, hosts, _hosts(spark, ["spam"]), tol=0.0, max_iter=ITERS
+        ).collect()
+    }
+    assert r["spam"] > r["x"] > 0  # the seed itself, then its in-linker
+    assert r["y"] == pytest.approx(0.0, abs=1e-15)
+    assert r["clean"] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_seed_sets_disjoint(spark):
+    from tric_spark.operators.trustrank import spam_seed_hosts
+
+    hosts = _hosts(spark, [f"site{i}.example" for i in range(128)])
+    good = {r.vid for r in trusted_seed_hosts(hosts).collect()}
+    bad = {r.vid for r in spam_seed_hosts(hosts).collect()}
+    assert good and bad and not (good & bad)
+
+
 def test_host_trustrank_weights_matter(spark):
     he = spark.createDataFrame(
         [("s", "b", 9), ("s", "c", 1), ("b", "s", 1), ("c", "s", 1)],

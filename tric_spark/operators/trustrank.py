@@ -179,6 +179,36 @@ def host_trustrank(
     return trustrank(dw, hosts, seeds, d=d, tol=tol, max_iter=max_iter)
 
 
+def spam_seed_hosts(hosts: DataFrame, min_digit: int = 12) -> DataFrame:
+    """Deterministic stand-in for a known-spam blacklist: hosts whose md5
+    first hex digit ≥ ``min_digit`` — disjoint from the
+    :func:`trusted_seed_hosts` whitelist (< 4) by construction, so the two
+    seed sets never overlap in tests or driver queries."""
+    digit = F.conv(F.substring(F.md5(F.col("vid").cast("string")), 1, 1), 16, 10)
+    return hosts.select("vid").filter(digit.cast("long") >= min_digit)
+
+
+def anti_trustrank(
+    directed_w: DataFrame,
+    vertices: DataFrame,
+    spam_seeds: DataFrame,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(vid, rank) — BadRank-style distrust: TrustRank on the REVERSED
+    graph with the spam blacklist as seeds. Linking TO a spam host is the
+    culpable act (spam can link to anyone — being linked FROM spam carries
+    no signal, which is why forward propagation from a blacklist doesn't
+    work), so distrust flows backward along in-links: hosts whose outlink
+    neighborhoods sink into the blacklist accumulate it. Same kernel, one
+    extra column swap — the reversed edge table shuffles identically."""
+    rev = directed_w.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return trustrank(rev, vertices, spam_seeds, d=d, tol=tol, max_iter=max_iter)
+
+
 def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
     """(vid, pr, tr, mass, rel_mass) — VLDB'06 mass estimation: absolute
     spam mass M = PR − TR and relative mass M/PR. Both inputs are (vid,
