@@ -455,6 +455,23 @@ def q_trustrank_iter2(spark, sf_dir):
     return r.select(F.col("vid").alias("host"), F.round("rank", 6).alias("rank"))
 
 
+def q_anti_trustrank_iter2(spark, sf_dir):
+    """BadRank-style anti-TrustRank: TrustRank on the REVERSED host graph
+    seeded by the deterministic md5-digit blacklist (≥ 12, disjoint from
+    the trusted < 4 set) — distrust flows backward along in-links, so
+    hosts linking into the blacklist accumulate it."""
+    from tric_spark.operators.trustrank import anti_trustrank, spam_seed_hosts
+
+    he, hosts = _host_graph(spark, sf_dir)
+    dw = he.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    r = anti_trustrank(dw, hosts, spam_seed_hosts(hosts), tol=0.0, max_iter=2)
+    return r.select(F.col("vid").alias("host"), F.round("rank", 6).alias("rank"))
+
+
 def q_spam_mass_hosts(spark, sf_dir):
     """Spam-mass estimation (Gyöngyi et al., VLDB'06): per host, uniform-
     teleport PageRank vs trusted-seed TrustRank at the same fixed 2
@@ -636,6 +653,25 @@ def q_hits_iter2(spark, sf_dir):
     )
 
 
+def q_salsa_iter2(spark, sf_dir):
+    """SALSA over the DIRECTED doc link graph — HITS's stochastic repair
+    (Lempel & Moran 2001): each half-step divides by the summed endpoint's
+    degree and L1-normalizes, so tightly-knit communities can't capture the
+    principal eigenvector. Fixed 2 iterations for the exact DuckDB unroll;
+    6dp rounding on both sides."""
+    from tric_spark.operators.salsa import salsa
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    directed = doc_edges_directed(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    r = salsa(directed, verts, tol=0.0, max_iter=2)
+    return r.select(
+        "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
 def q_cocitation(spark, sf_dir):
     # CAP ASSUMPTION (same as q_minhash_lsh_pairs): Spark runs with the
     # default max_fanout=100k guard, the oracle is unguarded — parity holds
@@ -757,12 +793,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pagerank_converged": q_pagerank_converged,
         "hits_iter2": q_hits_iter2,
+        "salsa_iter2": q_salsa_iter2,
         "cocitation": q_cocitation,
         "coupling": q_coupling,
         "related_pages": q_related_pages,
         "host_edges": q_host_edges,
         "host_pagerank_iter2": q_host_pagerank_iter2,
         "trustrank_iter2": q_trustrank_iter2,
+        "anti_trustrank_iter2": q_anti_trustrank_iter2,
         "spam_mass_hosts": q_spam_mass_hosts,
         "crawl_frontier": q_crawl_frontier,
         "betweenness": q_betweenness,
@@ -929,6 +967,60 @@ def _pagerank_converged_sql(rounds: int = 220) -> str:
     return (
         f"WITH {E}, {', '.join(ctes)}"
         f" SELECT vid, round(rank, 6) AS rank FROM pr{rounds}"
+    )
+
+
+def _salsa_sql(iters: int = 2) -> str:
+    """SALSA replay over the DIRECTED doc graph, unrolled — mirrors
+    operators/salsa.py's two half-steps exactly: auth(v) = Σ hub(u)/
+    outdeg(u) over u→v then L1-normalize, hub(u) = Σ fresh-auth(v)/
+    indeg(v) over u→v then L1-normalize, with the nullif-sum→1.0 norm
+    floor and left-join zero-fill. AS MATERIALIZED for the same
+    exponential-inlining reason as _hits_sql."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT doc_id AS vid FROM documents)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM v)",
+        "od AS MATERIALIZED (SELECT src AS vid, count(*) AS d"
+        " FROM dlinks GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst AS vid, count(*) AS d"
+        " FROM dlinks GROUP BY dst)",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nv) AS hub,"
+        " 1.0/(SELECT n FROM nv) AS auth FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.vid, coalesce(m.s, 0) AS r"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vid, sum(p.hub / o.d) AS s"
+            f" FROM dlinks e JOIN s{p} p ON p.vid = e.src"
+            f" JOIN od o ON o.vid = e.src GROUP BY e.dst) m"
+            f" ON m.vid = v.vid)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, r /"
+            f" (SELECT coalesce(nullif(sum(r), 0), 1.0) FROM a{i}r)"
+            f" AS auth FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.vid, coalesce(m.s, 0) AS r"
+            f" FROM v LEFT JOIN (SELECT e.src AS vid, sum(a.auth / g.d) AS s"
+            f" FROM dlinks e JOIN a{i} a ON a.vid = e.dst"
+            f" JOIN idg g ON g.vid = e.dst GROUP BY e.src) m"
+            f" ON m.vid = v.vid)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT vid, r /"
+            f" (SELECT coalesce(nullif(sum(r), 0), 1.0) FROM h{i}r)"
+            f" AS hub FROM h{i}r)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT h.vid, h.hub, a.auth"
+            f" FROM h{i} h JOIN a{i} a ON a.vid = h.vid)"
+        )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
+        f" SELECT vid, round(hub, 6) AS hub, round(auth, 6) AS auth"
+        f" FROM s{iters}"
     )
 
 
@@ -1132,35 +1224,41 @@ def _host_pr_sql(iters: int = 2) -> str:
     )
 
 
-# deterministic trusted-seed rule replayed verbatim from
-# operators/trustrank.py::trusted_seed_hosts (md5 hex is engine-portable)
-_TR_SEED_CTES = (
-    "seeds AS MATERIALIZED (SELECT vid FROM hv"
-    " WHERE ('0x' || substr(md5(vid), 1, 1))::BIGINT < 4)",
-    "ns AS (SELECT count(*) AS n FROM seeds)",
-    "ev AS MATERIALIZED (SELECT v.vid, CASE WHEN s.vid IS NOT NULL"
-    " THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS e"
-    " FROM hv v LEFT JOIN seeds s ON s.vid = v.vid)",
-)
+def _tr_seed_ctes(pred: str = "< 4") -> list[str]:
+    """Deterministic seed rule replayed verbatim from
+    operators/trustrank.py::trusted_seed_hosts / spam_seed_hosts (md5 hex
+    is engine-portable); ``pred`` is the first-hex-digit predicate."""
+    return [
+        "seeds AS MATERIALIZED (SELECT vid FROM hv"
+        f" WHERE ('0x' || substr(md5(vid), 1, 1))::BIGINT {pred})",
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        "ev AS MATERIALIZED (SELECT v.vid, CASE WHEN s.vid IS NOT NULL"
+        " THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS e"
+        " FROM hv v LEFT JOIN seeds s ON s.vid = v.vid)",
+    ]
 
 
-def _host_tr_ctes(iters: int, pfx: str = "t") -> list[str]:
+def _host_tr_ctes(
+    iters: int, pfx: str = "t", edges: str = "he", wt: str = "wt"
+) -> list[str]:
     """Weighted host TrustRank unrolled — mirrors
     operators/trustrank.py::trustrank: init rank = e (the teleport
     vector), rank = (1−d)·e + d·(in_mass + dm·e); dangling mass teleports
-    back to the seeds ∝ e. Requires the _TR_SEED_CTES block."""
+    back to the seeds ∝ e. Requires a _tr_seed_ctes block; ``edges``/``wt``
+    name the (src, dst, w) table and its per-src out-weight — pass the
+    reversed pair for anti-TrustRank."""
     ctes = [f"{pfx}0 AS MATERIALIZED (SELECT vid, e AS rank FROM ev)"]
     for i in range(1, iters + 1):
         p = i - 1
         ctes.append(
             f"{pfx}dm{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm"
-            f" FROM {pfx}{p} WHERE vid NOT IN (SELECT vid FROM wt))"
+            f" FROM {pfx}{p} WHERE vid NOT IN (SELECT vid FROM {wt}))"
         )
         ctes.append(
             f"{pfx}m{i} AS MATERIALIZED (SELECT g.dst AS vid,"
             f" sum(g.w * r.rank / t.wt) AS s"
-            f" FROM he g JOIN {pfx}{p} r ON g.src = r.vid"
-            f" JOIN wt t ON t.vid = g.src GROUP BY g.dst)"
+            f" FROM {edges} g JOIN {pfx}{p} r ON g.src = r.vid"
+            f" JOIN {wt} t ON t.vid = g.src GROUP BY g.dst)"
         )
         ctes.append(
             f"{pfx}{i} AS MATERIALIZED (SELECT v.vid,"
@@ -1172,7 +1270,25 @@ def _host_tr_ctes(iters: int, pfx: str = "t") -> list[str]:
 
 
 def _host_trustrank_sql(iters: int = 2) -> str:
-    ctes = list(_TR_SEED_CTES) + _host_tr_ctes(iters)
+    ctes = _tr_seed_ctes() + _host_tr_ctes(iters)
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
+        f" SELECT vid AS host, round(rank, 6) AS rank FROM t{iters}"
+    )
+
+
+def _host_antitrust_sql(iters: int = 2) -> str:
+    """Anti-TrustRank: the TR chain on the REVERSED host graph with the
+    blacklist seed rule (md5 digit ≥ 12) — mirrors
+    operators/trustrank.py::anti_trustrank."""
+    rev = [
+        "her AS MATERIALIZED (SELECT dst AS src, src AS dst, w FROM he)",
+        "wtr AS MATERIALIZED"
+        " (SELECT src AS vid, sum(w) AS wt FROM her GROUP BY src)",
+    ]
+    ctes = rev + _tr_seed_ctes(">= 12") + _host_tr_ctes(
+        iters, edges="her", wt="wtr"
+    )
     return (
         f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH}, {', '.join(ctes)}"
         f" SELECT vid AS host, round(rank, 6) AS rank FROM t{iters}"
@@ -1186,7 +1302,7 @@ def _host_spam_mass_sql(iters: int = 2) -> str:
     mirrors q_spam_mass_hosts exactly."""
     ctes = (
         _host_pr_ctes(iters, pfx="p")
-        + list(_TR_SEED_CTES)
+        + _tr_seed_ctes()
         + _host_tr_ctes(iters, pfx="t")
     )
     return (
@@ -1438,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "truss_numbers": _truss_numbers_sql(_oracle_rounds(14)),
         "pagerank_converged": _pagerank_converged_sql(),
         "hits_iter2": _hits_sql(iters=2),
+        "salsa_iter2": _salsa_sql(iters=2),
         "cocitation": f"""
             WITH {E}, {DOC_DIRECTED_SQL.strip()}
             SELECT l.dst AS a, r.dst AS b, count(*) AS common
@@ -1483,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank_iter2": _host_pr_sql(iters=2),
         "trustrank_iter2": _host_trustrank_sql(iters=2),
+        "anti_trustrank_iter2": _host_antitrust_sql(iters=2),
         "spam_mass_hosts": _host_spam_mass_sql(iters=2),
         "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
         "betweenness": _betweenness_sql(max_depth=10, mod=41),

@@ -181,3 +181,32 @@ def hits_oracle(
         if tol > 0 and max(np.max(np.abs(hub - h0)), np.max(np.abs(auth - a0))) < tol:
             break
     return hub, auth
+
+
+def salsa_oracle(
+    pairs_directed, n: int, tol: float = 0.0, max_iter: int = 20
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense SALSA power iteration (Lempel & Moran 2001): auth = Wᵀ·hub
+    with W row-stochastic over out-links, hub = Wc·auth with Wc
+    row-stochastic over in-links (transposed), each L1-normalized.
+    Returns (hub, auth). ``tol=0`` runs exactly ``max_iter`` iterations."""
+    A = np.zeros((n, n))
+    for u, v in pairs_directed:
+        A[u, v] = 1.0
+    outdeg = A.sum(axis=1)
+    indeg = A.sum(axis=0)
+    Wr = np.divide(A, outdeg[:, None], out=np.zeros_like(A), where=outdeg[:, None] > 0)
+    Wc = np.divide(A, indeg[None, :], out=np.zeros_like(A), where=indeg[None, :] > 0)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        h0, a0 = hub.copy(), auth.copy()
+        auth = Wr.T @ hub
+        sa = auth.sum()
+        auth = auth / sa if sa > 0 else auth
+        hub = Wc @ auth
+        sh = hub.sum()
+        hub = hub / sh if sh > 0 else hub
+        if tol > 0 and max(np.max(np.abs(hub - h0)), np.max(np.abs(auth - a0))) < tol:
+            break
+    return hub, auth
