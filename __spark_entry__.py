@@ -369,6 +369,19 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF k-means
+    cells (16 centroids, 1 Lloyd refine — the exact quantizer ann_ivf_topk
+    replays), within-cell pairs at 6dp-rounded cosine ≥ 0.4, hash-min CC
+    closure, rep = min vec_id. CAP ASSUMPTION (same as q_minhash_lsh_pairs):
+    Spark runs the default max_cell=100k guard, the oracle is unguarded —
+    parity holds because sf cells are ~31 ids, far below the cap."""
+    from tric_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=16, refine=1)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "events_hourly": q_events_hourly,
+        "semantic_dedup": q_semantic_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pagerank_converged": q_pagerank_converged,
@@ -2066,6 +2080,67 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # SemDeDup: the ann_ivf_topk quantizer chain (md5 pick → assign →
+        # 1 Lloyd refine) then within-cell pairs at rounded cosine ≥ 0.4
+        # and a recursive-CTE CC closure (rep = min vec_id), mirroring
+        # operators/semdedup.py. CAP ASSUMPTION: oracle unguarded, Spark
+        # capped at 100k — sf cells are ~31 ids.
+        "semantic_dedup": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            picked AS MATERIALIZED (
+              SELECT vec_id, v, md5(vec_id::VARCHAR) AS h
+              FROM e ORDER BY h, vec_id LIMIT 16
+            ),
+            cents0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY h, vec_id) AS cent_id, v AS cv
+              FROM picked
+            ),
+            a0 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents0 c
+              ) WHERE rnk = 1
+            ),
+            m AS MATERIALIZED (
+              SELECT cent_id, i, avg(val) AS mv
+              FROM (SELECT cent_id, unnest(v) AS val,
+                           unnest(range(1, len(v) + 1)) AS i
+                    FROM a0)
+              GROUP BY cent_id, i
+            ),
+            cents1 AS MATERIALIZED (
+              SELECT cent_id, list(mv ORDER BY i) AS cv FROM m GROUP BY cent_id
+            ),
+            a1 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents1 c
+              ) WHERE rnk = 1
+            ),
+            dpairs AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+                FROM a1 x JOIN a1 y
+                  ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+              ) WHERE cos >= 0.4
+            ),
+            sp AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM dpairs
+              UNION ALL SELECT b, a FROM dpairs
+            ),
+            r(vid, x) AS (
+              SELECT src, src FROM sp
+              UNION
+              SELECT s.dst, r.x FROM sp s JOIN r ON r.vid = s.src
+            )
+            SELECT vid AS vec_id, min(x) AS rep_id FROM r GROUP BY vid
+        """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             picked AS MATERIALIZED (
