@@ -369,6 +369,31 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample without replacement: top-50
+    documents by the 6dp-rounded A-ES key u^(1/n_chars) (deterministic md5
+    uniform, ties by doc_id) — the quality-weighted corpus-selection
+    primitive. Distributed TakeOrderedAndProject; never a global sort."""
+    from tric_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, 50, "n_chars", "doc_id").select(
+        "doc_id", "es_key"
+    )
+
+
+def q_weighted_sample_per_lang(spark, sf_dir):
+    """Per-language stratified A-ES sample (10 docs per lang, weight =
+    n_chars): the data-mix shape — window top-k per stratum on the same
+    shared md5 uniform as the flat sample."""
+    from tric_spark.operators.sampling import weighted_sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_stratified(
+        docs, 10, "n_chars", "doc_id", "lang"
+    ).select("doc_id", "lang", "es_key")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF k-means
     cells (16 centroids, 1 Lloyd refine — the exact quantizer ann_ivf_topk
@@ -803,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "events_hourly": q_events_hourly,
         "semantic_dedup": q_semantic_dedup,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pagerank_converged": q_pagerank_converged,
@@ -2080,6 +2107,38 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # A-ES weighted sampling: md5 uniform → u^(1/w) rounded to 6dp,
+        # ties by doc_id — replays operators/sampling.py::es_key exactly
+        # ("smp:{seed}:{key}" md5 preimage, 12 hex digits, +0.5 quantum)
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id,
+                     round(pow(
+                       ((('0x' || substr(md5('smp:42:' || doc_id::VARCHAR),
+                                         1, 12))::BIGINT % 1000000)
+                        + 0.5) / 1000000.0,
+                       1.0 / n_chars), 6) AS es_key
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, es_key FROM s
+            ORDER BY es_key DESC, doc_id LIMIT 50
+        """,
+        "weighted_sample_per_lang": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     round(pow(
+                       ((('0x' || substr(md5('smp:42:' || doc_id::VARCHAR),
+                                         1, 12))::BIGINT % 1000000)
+                        + 0.5) / 1000000.0,
+                       1.0 / n_chars), 6) AS es_key
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, es_key FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk
+              FROM s
+            ) WHERE rk <= 10
+        """,
         # SemDeDup: the ann_ivf_topk quantizer chain (md5 pick → assign →
         # 1 Lloyd refine) then within-cell pairs at rounded cosine ≥ 0.4
         # and a recursive-CTE CC closure (rep = min vec_id), mirroring
