@@ -369,6 +369,19 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Neighborhood-overlap link prediction over the undirected doc graph:
+    common-neighbor count, Adamic–Adar Σ1/ln(deg z), resource allocation
+    Σ1/deg(z) in one wedge plan, pairs sharing ≥ 2 neighbors. AA/RA rounded
+    6dp on both sides (ln is not bit-identical across engines). CAP
+    ASSUMPTION: Spark runs the default max_fanout=100k pivot guard, the
+    oracle is unguarded — sf degrees are orders of magnitude below it."""
+    from tric_spark.operators.linkpred import link_prediction_scores
+
+    _, sym, _, _ = _graph_tables(spark, sf_dir)
+    return link_prediction_scores(sym, min_common=2)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sample without replacement: top-50
     documents by the 6dp-rounded A-ES key u^(1/n_chars) (deterministic md5
@@ -828,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "events_hourly": q_events_hourly,
         "semantic_dedup": q_semantic_dedup,
+        "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2107,6 +2121,21 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # Adamic–Adar / RA: one wedge through shared neighbor z over sym,
+        # degree carried into the wedge; ln() (NOT log() — DuckDB's log is
+        # base-10); unguarded (see q_adamic_adar CAP ASSUMPTION)
+        "adamic_adar": f"""
+            WITH {E},
+            ez AS (SELECT e.dst AS z, e.src AS leaf, d.degree AS dz
+                   FROM sym e JOIN deg d ON d.vid = e.dst)
+            SELECT l.leaf AS a, r.leaf AS b,
+                   count(*) AS common,
+                   round(sum(1.0 / ln(l.dz)), 6) AS aa,
+                   round(sum(1.0 / l.dz), 6) AS ra
+            FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
+            GROUP BY l.leaf, r.leaf
+            HAVING count(*) >= 2
+        """,
         # A-ES weighted sampling: md5 uniform → u^(1/w) rounded to 6dp,
         # ties by doc_id — replays operators/sampling.py::es_key exactly
         # ("smp:{seed}:{key}" md5 preimage, 12 hex digits, +0.5 quantum)
