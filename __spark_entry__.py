@@ -369,6 +369,21 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_katz_iter3(spark, sf_dir):
+    """Katz centrality (α=0.1, β=1) over the DIRECTED doc graph, fixed 3
+    supersteps so the DuckDB oracle unrolls exactly; 6dp rounding both
+    sides. Single-join superstep (no dangling broadcast) — chains freely."""
+    from tric_spark.operators.katz import katz_centrality
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    directed = doc_edges_directed(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    r = katz_centrality(directed, verts, alpha=0.1, beta=1.0, tol=0.0, max_iter=3)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def q_adamic_adar(spark, sf_dir):
     """Neighborhood-overlap link prediction over the undirected doc graph:
     common-neighbor count, Adamic–Adar Σ1/ln(deg z), resource allocation
@@ -841,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "events_hourly": q_events_hourly,
         "semantic_dedup": q_semantic_dedup,
+        "katz_iter3": q_katz_iter3,
         "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -2121,6 +2137,26 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # Katz: x ← β + α·Aᵀx unrolled from x₀ = β over dlinks — mirrors
+        # operators/katz.py exactly (left-join zero-fill)
+        "katz_iter3": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            v AS MATERIALIZED (SELECT doc_id AS vid FROM documents),
+            k0 AS MATERIALIZED (SELECT vid, 1.0 AS rank FROM v),
+            k1 AS MATERIALIZED (SELECT v.vid, 1.0 + 0.1 * coalesce(m.s, 0)
+              AS rank FROM v LEFT JOIN (SELECT e.dst AS vid, sum(p.rank) AS s
+              FROM dlinks e JOIN k0 p ON p.vid = e.src GROUP BY e.dst) m
+              ON m.vid = v.vid),
+            k2 AS MATERIALIZED (SELECT v.vid, 1.0 + 0.1 * coalesce(m.s, 0)
+              AS rank FROM v LEFT JOIN (SELECT e.dst AS vid, sum(p.rank) AS s
+              FROM dlinks e JOIN k1 p ON p.vid = e.src GROUP BY e.dst) m
+              ON m.vid = v.vid),
+            k3 AS MATERIALIZED (SELECT v.vid, 1.0 + 0.1 * coalesce(m.s, 0)
+              AS rank FROM v LEFT JOIN (SELECT e.dst AS vid, sum(p.rank) AS s
+              FROM dlinks e JOIN k2 p ON p.vid = e.src GROUP BY e.dst) m
+              ON m.vid = v.vid)
+            SELECT vid, round(rank, 6) AS rank FROM k3
+        """,
         # Adamic–Adar / RA: one wedge through shared neighbor z over sym,
         # degree carried into the wedge; ln() (NOT log() — DuckDB's log is
         # base-10); unguarded (see q_adamic_adar CAP ASSUMPTION)
