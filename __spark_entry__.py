@@ -369,6 +369,15 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), ranked on the 6dp-rounded score with
+    token tie-break — keyword extraction over the documents table."""
+    from tric_spark.operators.textstats import tfidf_topk_terms
+
+    return tfidf_topk_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_katz_iter3(spark, sf_dir):
     """Katz centrality (α=0.1, β=1) over the DIRECTED doc graph, fixed 3
     supersteps so the DuckDB oracle unrolls exactly; 6dp rounding both
@@ -857,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "semantic_dedup": q_semantic_dedup,
         "katz_iter3": q_katz_iter3,
+        "tfidf_terms": q_tfidf_terms,
         "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -2137,6 +2147,26 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # TF-IDF: whitespace tokens, smoothed sklearn idf, rank on the
+        # ROUNDED score (ln portability), token tie-break
+        "tfidf_terms": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                          AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token <> '' GROUP BY doc_id, token),
+            dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                     round(t.tf * (ln(((SELECT n FROM nn) + 1.0)
+                                      / (d.df + 1)) + 1.0), 6) AS tfidf
+              FROM tf t JOIN dfr d USING (token))
+            SELECT doc_id, token, tf, df, tfidf, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
         # Katz: x ← β + α·Aᵀx unrolled from x₀ = β over dlinks — mirrors
         # operators/katz.py exactly (left-join zero-fill)
         "katz_iter3": f"""

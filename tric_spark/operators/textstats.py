@@ -155,3 +155,52 @@ def vocabulary(docs: DataFrame, k: int = 1000) -> DataFrame:
         .join(per_doc, "token")
         .select("token", "n_occurrences", "n_docs", "rank")
     )
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf, rnk) — each document's top-``k``
+    characteristic terms by smoothed TF-IDF (the sklearn convention:
+    idf = ln((N+1)/(df+1)) + 1, never negative, never divides by zero).
+    The keyword-extraction / doc-signature pass of a search or curation
+    pipeline (Salton & Buckley, IP&M 24(5), 1988).
+
+    Ranking uses the 6dp-ROUNDED tfidf with token tie-break — raw float
+    order is not engine-portable (the crawl-frontier lesson; ln again).
+
+    100-TB shape: one explode → map-side-combined groupBy (doc_id, token)
+    for tf; df reuses THAT frame (its rows are already distinct doc-token
+    pairs — no second tokenize pass); N folds in as a broadcast 1-row
+    aggregate; the per-doc window sort is bounded by each doc's distinct
+    vocabulary, never the corpus."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
