@@ -369,6 +369,17 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rules quality gate (Rae et al. 2021 Table A1 shape) over the
+    documents table: token/mean-word-length/stopword/repetition signals,
+    per-rule failure count, keep flag. Thresholds tuned to the synthetic
+    corpus so both verdicts occur (the oracle replays the rounded-signal
+    boundaries exactly)."""
+    from tric_spark.operators.quality_filter import gopher_quality_filter
+
+    return gopher_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-document top-3 characteristic terms by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1), ranked on the 6dp-rounded score with
@@ -867,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "katz_iter3": q_katz_iter3,
         "tfidf_terms": q_tfidf_terms,
+        "gopher_filter": q_gopher_filter,
         "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -2147,6 +2159,68 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # Gopher quality gate: nonempty-token stats (expression-level) +
+        # the repetition_metrics gram chains; rules on the ROUNDED signals
+        # exactly as operators/quality_filter.py applies them
+        "gopher_filter": f"""
+            WITH {_TOKS},
+            ft AS (SELECT doc_id,
+                          list_filter(t, x -> x <> '') AS ftoks
+                   FROM toks),
+            st AS (SELECT doc_id,
+                          len(ftoks) AS n_tokens,
+                          round(coalesce(list_sum(list_transform(ftoks,
+                                  x -> length(x))), 0)::DOUBLE
+                                / greatest(len(ftoks), 1), 6)
+                            AS mean_word_len,
+                          (CASE WHEN list_contains(ftoks, 'the') THEN 1 ELSE 0 END
+                           + CASE WHEN list_contains(ftoks, 'and') THEN 1 ELSE 0 END
+                           + CASE WHEN list_contains(ftoks, 'of') THEN 1 ELSE 0 END
+                           + CASE WHEN list_contains(ftoks, 'to') THEN 1 ELSE 0 END
+                           + CASE WHEN list_contains(ftoks, 'a') THEN 1 ELSE 0 END)
+                            AS stop_hits
+                   FROM ft),
+            pg2 AS (
+              SELECT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM pg2 GROUP BY doc_id, g),
+            t2 AS (SELECT doc_id, c*length(g) AS mass,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, g ASC) AS rn
+                   FROM c2),
+            tm AS (SELECT doc_id, mass FROM t2 WHERE rn = 1),
+            pg3 AS (
+              SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+              FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM pg3 GROUP BY doc_id, g),
+            dm AS (SELECT doc_id, sum(c*length(g)) AS mass FROM c3
+                   WHERE c >= 2 GROUP BY doc_id),
+            sig AS (
+              SELECT s.doc_id, s.n_tokens, s.mean_word_len, s.stop_hits,
+                     round(coalesce(tm.mass, 0)
+                           / greatest(length(d.text), 1), 6) AS top2_frac,
+                     round(least(1.0, coalesce(dm.mass, 0)
+                                      / greatest(length(d.text), 1)), 6)
+                       AS dup3_frac
+              FROM st s JOIN documents d USING (doc_id)
+                        LEFT JOIN tm USING (doc_id)
+                        LEFT JOIN dm USING (doc_id))
+            SELECT doc_id, n_tokens, mean_word_len, stop_hits,
+                   top2_frac, dup3_frac,
+                   ((n_tokens < 30)::INT + (n_tokens > 100000)::INT
+                    + (mean_word_len < 2.0 OR mean_word_len > 12.0)::INT
+                    + (stop_hits < 2)::INT + (top2_frac > 0.12)::INT
+                    + (dup3_frac > 0.6)::INT) AS n_failed,
+                   ((n_tokens < 30)::INT + (n_tokens > 100000)::INT
+                    + (mean_word_len < 2.0 OR mean_word_len > 12.0)::INT
+                    + (stop_hits < 2)::INT + (top2_frac > 0.12)::INT
+                    + (dup3_frac > 0.6)::INT) = 0 AS keep
+            FROM sig
+        """,
         # TF-IDF: whitespace tokens, smoothed sklearn idf, rank on the
         # ROUNDED score (ln portability), token tie-break
         "tfidf_terms": """
