@@ -597,6 +597,18 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_harmonic_closeness(spark, sf_dir):
+    """Pivot-sampled harmonic closeness (Eppstein–Wang estimator, harmonic
+    variant per Boldi–Vigna) over the undirected doc graph: deterministic
+    pivots vid % 41 == 0 (the betweenness rule), BFS truncated at
+    max_depth=10 on both engines, (n/k)-scaled Σ1/d rounded 6dp."""
+    from tric_spark.operators.closeness import harmonic_closeness_approx
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    piv = verts.filter(F.col("vid") % 41 == 0)
+    return harmonic_closeness_approx(sym, verts, piv, max_depth=10)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier prioritization (Cho/Garcia-Molina WWW'98): docs with
     doc_id % 7 == 0 stand in for the UNCRAWLED frontier; PageRank (2 fixed
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass_hosts": q_spam_mass_hosts,
         "crawl_frontier": q_crawl_frontier,
         "betweenness": q_betweenness,
+        "harmonic_closeness": q_harmonic_closeness,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -1407,6 +1420,51 @@ def _host_spam_mass_sql(iters: int = 2) -> str:
     )
 
 
+def _closeness_sql(max_depth: int = 10, mod: int = 41) -> str:
+    """Pivot BFS replay for harmonic closeness — the forward chain of
+    _betweenness_sql without σ (DISTINCT per level suffices for hop
+    distances), then one aggregate: count / Σd / (n/k)·Σ1/d rounded 6dp,
+    zero-filled over the vertex set. Truncation-consistent at max_depth."""
+    ctes = [
+        f"piv AS MATERIALIZED (SELECT vid AS s FROM deg WHERE vid % {mod} = 0)",
+        "kk AS (SELECT count(*) AS k FROM piv)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "cl0 AS MATERIALIZED (SELECT s, s AS vid FROM piv)",
+        "cv0 AS MATERIALIZED (SELECT s, vid FROM cl0)",
+        "cs0 AS MATERIALIZED (SELECT s, vid, 0 AS dist FROM cl0)",
+    ]
+    for i in range(1, max_depth + 1):
+        p = i - 1
+        ctes.append(
+            f"cl{i} AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS vid"
+            f" FROM cl{p} f JOIN sym e ON e.src = f.vid"
+            f" LEFT JOIN cv{p} x ON x.s = f.s AND x.vid = e.dst"
+            f" WHERE x.vid IS NULL)"
+        )
+        ctes.append(
+            f"cv{i} AS MATERIALIZED (SELECT s, vid FROM cv{p}"
+            f" UNION ALL SELECT s, vid FROM cl{i})"
+        )
+        ctes.append(
+            f"cs{i} AS MATERIALIZED (SELECT s, vid, dist FROM cs{p}"
+            f" UNION ALL SELECT s, vid, {i} AS dist FROM cl{i})"
+        )
+    ctes.append(
+        f"agg AS (SELECT vid, count(*) AS n_sources,"
+        f" sum(dist)::BIGINT AS sum_dist,"
+        f" round(sum(1.0 / dist) * (SELECT n FROM nn)"
+        f" / (SELECT k FROM kk), 6) AS harmonic"
+        f" FROM cs{max_depth} WHERE dist > 0 GROUP BY vid)"
+    )
+    return (
+        f"WITH {E}, {', '.join(ctes)}"
+        f" SELECT d.vid, coalesce(a.n_sources, 0)::BIGINT AS n_sources,"
+        f" coalesce(a.sum_dist, 0)::BIGINT AS sum_dist,"
+        f" coalesce(a.harmonic, 0.0) AS harmonic"
+        f" FROM deg d LEFT JOIN agg a ON a.vid = d.vid"
+    )
+
+
 def _betweenness_sql(max_depth: int = 10, mod: int = 41) -> str:
     """Full pivot-Brandes replay — mirrors operators/betweenness.py level
     by level: forward BFS with σ sums (anti-join vs the cumulative visited
@@ -1697,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_hosts": _host_spam_mass_sql(iters=2),
         "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
         "betweenness": _betweenness_sql(max_depth=10, mod=41),
+        "harmonic_closeness": _closeness_sql(max_depth=10, mod=41),
         "random_walks": _walks_sql(num_steps=4),
         "neighborhood2": f"""
             WITH {E},
