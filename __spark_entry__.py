@@ -597,6 +597,18 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_lp_modularity(spark, sf_dir):
+    """Newman modularity of the 2-iteration label-propagation partition
+    over the undirected doc graph — the community-quality acceptance
+    metric, one row (modularity, n_communities, m_edges)."""
+    from tric_spark.operators.lp import label_propagation
+    from tric_spark.operators.modularity import modularity
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    labels = label_propagation(sym, verts, num_iter=2)
+    return modularity(sym, labels)
+
+
 def q_harmonic_closeness(spark, sf_dir):
     """Pivot-sampled harmonic closeness (Eppstein–Wang estimator, harmonic
     variant per Boldi–Vigna) over the undirected doc graph: deterministic
@@ -910,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "betweenness": q_betweenness,
         "harmonic_closeness": q_harmonic_closeness,
+        "lp_modularity": q_lp_modularity,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -1756,6 +1769,39 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
         "betweenness": _betweenness_sql(max_depth=10, mod=41),
         "harmonic_closeness": _closeness_sql(max_depth=10, mod=41),
+        # Newman modularity of the lp_iter2 labels: Q = mc/m − ΣD_c²/4m²
+        # over the E block's sym/deg; HUGEINT sums cast back to BIGINT
+        "lp_modularity": f"""
+            WITH {E},
+            l1 AS (SELECT s.dst AS vid, min(s.src) AS label
+                   FROM sym s GROUP BY s.dst),
+            freq2 AS (
+              SELECT s.dst AS vid, l.label, count(*) AS n
+              FROM sym s JOIN l1 l ON l.vid = s.src GROUP BY s.dst, l.label
+            ),
+            lbl AS MATERIALIZED (
+              SELECT vid, label FROM (
+                SELECT vid, label, row_number() OVER (PARTITION BY vid
+                  ORDER BY n DESC, label ASC) AS rn
+                FROM freq2
+              ) WHERE rn = 1
+            ),
+            mm AS (SELECT count(*) / 2 AS m FROM sym),
+            mc AS (SELECT count(*) AS mc FROM sym e
+                   JOIN lbl a ON a.vid = e.src JOIN lbl b ON b.vid = e.dst
+                   WHERE a.label = b.label AND e.src < e.dst),
+            dc AS (SELECT l.label, sum(d.degree) AS dsum
+                   FROM deg d JOIN lbl l ON l.vid = d.vid GROUP BY l.label),
+            ds AS (SELECT sum(dsum * dsum)::DOUBLE AS dsq,
+                          count(*)::BIGINT AS nc FROM dc)
+            SELECT round(CASE WHEN (SELECT m FROM mm) > 0 THEN
+                     (SELECT mc FROM mc) / (SELECT m FROM mm)
+                     - coalesce((SELECT dsq FROM ds), 0)
+                       / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm))
+                   ELSE 0.0 END, 6) AS modularity,
+                   coalesce((SELECT nc FROM ds), 0)::BIGINT AS n_communities,
+                   (SELECT m FROM mm)::BIGINT AS m_edges
+        """,
         "random_walks": _walks_sql(num_steps=4),
         "neighborhood2": f"""
             WITH {E},

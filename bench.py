@@ -247,6 +247,18 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
 
     timed("crawl_frontier", _frontier)
 
+    # NEW r5 (final): SemDeDup (IVF cells → in-cell cosine pairs → CC) on
+    # the embeddings table, and the Gopher quality gate (token stats +
+    # both repetition passes + rule composite) over the docs table
+    from tric_spark.operators.quality_filter import gopher_quality_filter
+    from tric_spark.operators.semdedup import semantic_dedup
+
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup(emb, threshold=0.4, n_centroids=16).count(),
+    )
+    timed("gopher_filter", lambda: gopher_quality_filter(docs).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]
