@@ -369,6 +369,15 @@ def q_embedding_neardup_exact(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality signal: add-k bigram LM perplexity, self-scored
+    on the documents corpus (docs whose transitions are unlike the corpus
+    score high). avg_nll / ppl 6dp-rounded on both engines."""
+    from tric_spark.operators.lm_score import lm_perplexity
+
+    return lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rules quality gate (Rae et al. 2021 Table A1 shape) over the
     documents table: token/mean-word-length/stopword/repetition signals,
@@ -903,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_iter3": q_katz_iter3,
         "tfidf_terms": q_tfidf_terms,
         "gopher_filter": q_gopher_filter,
+        "lm_perplexity": q_lm_perplexity,
         "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -2264,6 +2274,32 @@ def oracle_sql() -> dict[str, str]:
         # full IVF replay: md5-ordered centroid sample, cosine assignment,
         # one Lloyd step, 4-probe, exact rank within probed cells — mirrors
         # similarity.ann_ivf_topk(k=5, n_centroids=16, n_probe=4, refine=1)
+        # add-k bigram LM: model counts from the corpus's own nonempty-token
+        # bigrams, smoothed nll per occurrence, per-doc avg + exp — mirrors
+        # operators/lm_score.py (ln/exp rounded 6dp)
+        "lm_perplexity": """
+            WITH ft AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS t
+                        FROM documents),
+            bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+                   FROM ft, unnest(generate_series(1, len(t)-1)) AS u(i)
+                   WHERE len(t) >= 2),
+            cvw AS (SELECT v, w, count(*) AS cvw FROM bg GROUP BY v, w),
+            cvt AS (SELECT v, count(*) AS cv FROM bg GROUP BY v),
+            vs AS (SELECT count(DISTINCT x) AS vsz
+                   FROM (SELECT unnest(t) AS x FROM ft)),
+            sc AS (SELECT b.doc_id,
+                          -ln((coalesce(c.cvw, 0) + 0.5)
+                              / (coalesce(x.cv, 0)
+                                 + 0.5 * (SELECT vsz FROM vs))) AS nll
+                   FROM bg b LEFT JOIN cvw c USING (v, w)
+                             LEFT JOIN cvt x USING (v))
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(avg(nll), 6) AS avg_nll,
+                   round(exp(avg(nll)), 6) AS ppl
+            FROM sc GROUP BY doc_id
+        """,
         # Gopher quality gate: nonempty-token stats (expression-level) +
         # the repetition_metrics gram chains; rules on the ROUNDED signals
         # exactly as operators/quality_filter.py applies them
