@@ -606,6 +606,17 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_mis(spark, sf_dir):
+    """Luby maximal independent set over the undirected doc graph:
+    md5-deterministic round priorities, replayed round-by-round by the
+    unrolled oracle. Both sides bound at 8 rounds (the sf0.01 graph
+    finishes in 3; exhausted rounds are empty no-ops, so parity holds)."""
+    from tric_spark.operators.mis import maximal_independent_set
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return maximal_independent_set(sym, verts, seed=42, max_rounds=8)
+
+
 def q_lp_modularity(spark, sf_dir):
     """Newman modularity of the 2-iteration label-propagation partition
     over the undirected doc graph — the community-quality acceptance
@@ -933,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "harmonic_closeness": q_harmonic_closeness,
         "lp_modularity": q_lp_modularity,
+        "mis": q_mis,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -1488,6 +1500,48 @@ def _closeness_sql(max_depth: int = 10, mod: int = 41) -> str:
     )
 
 
+def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Luby MIS replay — mirrors operators/mis.py round by round: md5
+    priority, neighbor-min, strict-minimum winners (no active neighbor →
+    automatic winner), winners+neighbors deactivate, edges shrink to the
+    surviving actives. Rounds past convergence are empty no-ops on both
+    engines."""
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT vid FROM deg)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"pr{r} AS MATERIALIZED (SELECT vid,"
+            f" md5('mis:{seed}:{r}:' || vid::VARCHAR) AS p FROM a{r})"
+        )
+        ctes.append(
+            f"nm{r} AS MATERIALIZED (SELECT e.src AS vid, min(p.p) AS np"
+            f" FROM e{r} e JOIN pr{r} p ON p.vid = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT a.vid FROM pr{r} a"
+            f" LEFT JOIN nm{r} m ON m.vid = a.vid"
+            f" WHERE m.np IS NULL OR a.p < m.np)"
+        )
+        ctes.append(
+            f"rm{r} AS MATERIALIZED (SELECT vid FROM w{r}"
+            f" UNION SELECT e.dst AS vid FROM e{r} e"
+            f" JOIN w{r} w ON w.vid = e.src)"
+        )
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT vid FROM a{r}"
+            f" WHERE vid NOT IN (SELECT vid FROM rm{r}))"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT src, dst FROM e{r}"
+            f" WHERE src IN (SELECT vid FROM a{r + 1})"
+            f" AND dst IN (SELECT vid FROM a{r + 1}))"
+        )
+    final = " UNION ALL ".join(f"SELECT vid FROM w{r}" for r in range(rounds))
+    return f"WITH {E}, {', '.join(ctes)} {final}"
+
+
 def _betweenness_sql(max_depth: int = 10, mod: int = 41) -> str:
     """Full pivot-Brandes replay — mirrors operators/betweenness.py level
     by level: forward BFS with σ sums (anti-join vs the cumulative visited
@@ -1779,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
         "betweenness": _betweenness_sql(max_depth=10, mod=41),
         "harmonic_closeness": _closeness_sql(max_depth=10, mod=41),
+        "mis": _mis_sql(rounds=8, seed=42),
         # Newman modularity of the lp_iter2 labels: Q = mc/m − ΣD_c²/4m²
         # over the E block's sym/deg; HUGEINT sums cast back to BIGINT
         "lp_modularity": f"""
