@@ -617,6 +617,17 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(sym, verts, seed=42, max_rounds=8)
 
 
+def q_coloring(spark, sf_dir):
+    """Jones–Plassmann vertex coloring over the undirected doc graph:
+    static md5 priorities, ready-when-local-minimum, mex of colored
+    neighbors. Both sides bound at 24 rounds (the sf0.01 graph finishes in
+    14; exhausted rounds are empty no-ops)."""
+    from tric_spark.operators.mis import jones_plassmann_coloring
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return jones_plassmann_coloring(sym, verts, seed=42, max_rounds=24)
+
+
 def q_lp_modularity(spark, sf_dir):
     """Newman modularity of the 2-iteration label-propagation partition
     over the undirected doc graph — the community-quality acceptance
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_closeness": q_harmonic_closeness,
         "lp_modularity": q_lp_modularity,
         "mis": q_mis,
+        "coloring": q_coloring,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -1542,6 +1554,65 @@ def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
     return f"WITH {E}, {', '.join(ctes)} {final}"
 
 
+def _coloring_sql(rounds: int = 24, seed: int = 42) -> str:
+    """Jones–Plassmann replay — mirrors operators/mis.py::
+    jones_plassmann_coloring round by round: static md5 priority,
+    ready = strict minimum among uncolored neighbors, color = mex of the
+    sorted distinct colored-neighbor colors (first index ≠ value, else
+    list length; generate_series(0,-1) = [] makes the empty case mex 0)."""
+    mex = (
+        "coalesce(list_min(list_filter(list_transform("
+        "generate_series(0, len(cs)-1),"
+        " i -> CASE WHEN cs[i+1] <> i THEN i END),"
+        " x -> x IS NOT NULL)), len(cs))"
+    )
+    ctes = [
+        f"ap AS MATERIALIZED (SELECT vid,"
+        f" md5('col:{seed}:' || vid::VARCHAR) AS p FROM deg)",
+        "u0 AS MATERIALIZED (SELECT vid, p FROM ap)",
+        "ue0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "col0 AS MATERIALIZED (SELECT vid, 0 AS color FROM deg WHERE 1=0)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"nm{r} AS MATERIALIZED (SELECT e.src AS vid, min(p.p) AS np"
+            f" FROM ue{r} e JOIN u{r} p ON p.vid = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"rd{r} AS MATERIALIZED (SELECT u.vid FROM u{r} u"
+            f" LEFT JOIN nm{r} m ON m.vid = u.vid"
+            f" WHERE m.np IS NULL OR u.p < m.np)"
+        )
+        ctes.append(
+            f"ns{r} AS MATERIALIZED (SELECT r.vid,"
+            f" list_sort(list_distinct(list(c.color))) AS cs"
+            f" FROM rd{r} r JOIN sym e ON e.src = r.vid"
+            f" JOIN col{r} c ON c.vid = e.dst GROUP BY r.vid)"
+        )
+        ctes.append(
+            f"nw{r} AS MATERIALIZED (SELECT r.vid,"
+            f" CASE WHEN n.cs IS NULL THEN 0 ELSE {mex} END AS color"
+            f" FROM rd{r} r LEFT JOIN ns{r} n ON n.vid = r.vid)"
+        )
+        ctes.append(
+            f"col{r + 1} AS MATERIALIZED (SELECT vid, color FROM col{r}"
+            f" UNION ALL SELECT vid, color FROM nw{r})"
+        )
+        ctes.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT vid, p FROM u{r}"
+            f" WHERE vid NOT IN (SELECT vid FROM rd{r}))"
+        )
+        ctes.append(
+            f"ue{r + 1} AS MATERIALIZED (SELECT src, dst FROM ue{r}"
+            f" WHERE src IN (SELECT vid FROM u{r + 1})"
+            f" AND dst IN (SELECT vid FROM u{r + 1}))"
+        )
+    return (
+        f"WITH {E}, {', '.join(ctes)}"
+        f" SELECT vid, color::INT AS color FROM col{rounds}"
+    )
+
+
 def _betweenness_sql(max_depth: int = 10, mod: int = 41) -> str:
     """Full pivot-Brandes replay — mirrors operators/betweenness.py level
     by level: forward BFS with σ sums (anti-join vs the cumulative visited
@@ -1834,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_sql(max_depth=10, mod=41),
         "harmonic_closeness": _closeness_sql(max_depth=10, mod=41),
         "mis": _mis_sql(rounds=8, seed=42),
+        "coloring": _coloring_sql(rounds=24, seed=42),
         # Newman modularity of the lp_iter2 labels: Q = mc/m − ΣD_c²/4m²
         # over the E block's sym/deg; HUGEINT sums cast back to BIGINT
         "lp_modularity": f"""

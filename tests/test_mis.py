@@ -101,3 +101,74 @@ def test_mis_edgeless_is_everything(spark):
     assert {r.vid for r in maximal_independent_set(e, verts).collect()} == set(
         range(5)
     )
+
+
+# --- Jones–Plassmann coloring ------------------------------------------------
+
+from tric_spark.operators.mis import jones_plassmann_coloring  # noqa: E402
+
+
+def _jp_replay(pairs, n, seed=42):
+    adj = {v: set() for v in range(n)}
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    pri = {
+        v: hashlib.md5(f"col:{seed}:{v}".encode()).hexdigest() for v in range(n)
+    }
+    color = {}
+    while len(color) < n:
+        ready = [
+            v
+            for v in range(n)
+            if v not in color
+            and all(pri[v] < pri[u] for u in adj[v] if u not in color)
+        ]
+        for v in ready:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    return color
+
+
+def _check_coloring(pairs, n, color):
+    assert set(color) == set(range(n))
+    for u, v in pairs:
+        if u != v:
+            assert color[u] != color[v], f"edge {u}-{v} monochromatic"
+
+
+def test_coloring_matches_python_replay(spark):
+    pairs = er_graph(n=40, p_inv=4, seed=29)
+    verts = spark.range(40).withColumnRenamed("id", "vid")
+    got = {
+        r.vid: r.color
+        for r in jones_plassmann_coloring(_sym(spark, pairs), verts).collect()
+    }
+    assert got == _jp_replay(pairs, 40)
+    _check_coloring(pairs, 40, got)
+
+
+def test_coloring_proper_and_bounded_on_denser_graph(spark):
+    pairs = er_graph(n=50, p_inv=2, seed=37)
+    verts = spark.range(50).withColumnRenamed("id", "vid")
+    got = {
+        r.vid: r.color
+        for r in jones_plassmann_coloring(_sym(spark, pairs), verts).collect()
+    }
+    _check_coloring(pairs, 50, got)
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert max(got.values()) <= max(deg.values())  # ≤ Δ+1 colors (0-based)
+    assert got == _jp_replay(pairs, 50)
+
+
+def test_coloring_edgeless_all_zero(spark):
+    e = edges_df(spark, []).limit(0)
+    verts = spark.range(4).withColumnRenamed("id", "vid")
+    rows = jones_plassmann_coloring(e, verts).collect()
+    assert {r.vid: r.color for r in rows} == {v: 0 for v in range(4)}

@@ -98,3 +98,105 @@ def maximal_independent_set(
     for w in winners_acc[1:]:
         mis = mis.union(w)
     return mis
+
+
+def jones_plassmann_coloring(
+    sym_edges: DataFrame,
+    vertices: DataFrame,
+    seed: int = 42,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(vid, color) — a proper vertex coloring by the Jones–Plassmann
+    algorithm (SIAM J. Sci. Comput. 14(3), 1993), the distributed-coloring
+    standard built on the same symmetry-breaking idea as Luby's MIS: every
+    vertex draws ONE static hash priority; a vertex colors itself the round
+    all its higher-priority neighbors are colored, taking the mex (smallest
+    color unused by its already-colored neighbors). Expected O(log n /
+    log log n) rounds; colors ≤ Δ+1.
+
+    Determinism: priority = md5("col:{seed}:{vid}") — distinct vids give
+    distinct hex strings, so adjacent vertices can never be ready in the
+    same round (strict-minimum rule), which is the proper-coloring
+    invariant. The mex is an expression over the sorted distinct neighbor
+    colors (first index where value ≠ index — one of the two legitimate
+    uses of F.transform's (element, index) lambda form).
+
+    Spark shape per round: the uncolored-edge list shrinks like MIS's;
+    neighbor-min is one groupBy, the colored-neighbor color sets one more
+    (collect_set bounded by vertex degree), both map-side combined;
+    everything checkpointed per round."""
+    pri_col = F.md5(
+        F.concat_ws(":", F.lit("col"), F.lit(str(seed)), F.col("vid").cast("string"))
+    )
+    uncolored = (
+        vertices.select("vid").distinct().select("vid", pri_col.alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    all_edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    ue = all_edges
+    colored_acc: list[DataFrame] = []
+    colored = None
+    for _ in range(max_rounds):
+        if uncolored.isEmpty():
+            break
+        nbr_min = (
+            ue.join(
+                uncolored.select(F.col("vid").alias("dst"), F.col("p").alias("dp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dp").alias("np"))
+            .withColumnRenamed("src", "vid")
+        )
+        ready = (
+            uncolored.join(nbr_min, "vid", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("vid")
+        )
+        if colored is None:
+            ncols = ready.select("vid", F.array().cast("array<int>").alias("cs"))
+        else:
+            got = (
+                all_edges.join(ready.withColumnRenamed("vid", "src"), "src")
+                .join(
+                    colored.select(
+                        F.col("vid").alias("dst"), F.col("color").alias("c")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.array_sort(F.collect_set("c")).alias("cs"))
+                .withColumnRenamed("src", "vid")
+            )
+            ncols = ready.join(got, "vid", "left").select(
+                "vid", F.coalesce("cs", F.array().cast("array<int>")).alias("cs")
+            )
+        # mex: first index where sorted-distinct value ≠ index, else size
+        mex = F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.transform(
+                        "cs", lambda x, i: F.when(x != i.cast("int"), i.cast("int"))
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+            F.size("cs"),
+        )
+        newly = ncols.select("vid", mex.alias("color")).localCheckpoint(eager=True)
+        colored_acc.append(newly)
+        colored = newly if colored is None else colored.union(newly).localCheckpoint(
+            eager=True
+        )
+        uncolored = uncolored.join(newly.select("vid"), "vid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        ue = (
+            all_edges.join(uncolored.select(F.col("vid").alias("src")), "src", "left_semi")
+            .join(uncolored.select(F.col("vid").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    if colored is None:
+        return vertices.select("vid").limit(0).withColumn("color", F.lit(0))
+    return colored
