@@ -606,6 +606,22 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_multi_ppr_iter2(spark, sf_dir):
+    """Batch personalized PageRank: THREE seed sets (vid % 50 = 0/1/2)
+    advance together in one (set_id, vid)-keyed state over the undirected
+    doc graph — the topic-sensitive/per-user serving shape. Fixed 2
+    supersteps; the sym graph has no dangling vertices, so the oracle's
+    per-set unroll needs no dangling term."""
+    from tric_spark.operators.mppr import multi_personalized_pagerank
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    seed_rows = verts.filter(F.col("vid") % 50 <= 2).select(
+        (F.col("vid") % 50).alias("set_id"), "vid"
+    )
+    r = multi_personalized_pagerank(sym, verts, seed_rows, tol=0.0, max_iter=2)
+    return r.select("set_id", "vid", F.round("rank", 6).alias("rank"))
+
+
 def q_mis(spark, sf_dir):
     """Luby maximal independent set over the undirected doc graph:
     md5-deterministic round priorities, replayed round-by-round by the
@@ -957,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_modularity": q_lp_modularity,
         "mis": q_mis,
         "coloring": q_coloring,
+        "multi_ppr_iter2": q_multi_ppr_iter2,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -2110,6 +2127,34 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        # batch PPR: the ppr_iter2 unroll with a set_id dimension — the
+        # sym graph has no dangling vertices (every vertex has degree ≥ 1),
+        # so the per-set dangling term is identically 0 on both engines
+        "multi_ppr_iter2": f"""
+            WITH {E},
+            ms AS (SELECT vid % 50 AS set_id, vid FROM deg WHERE vid % 50 <= 2),
+            cnt AS (SELECT set_id, count(*) AS ns FROM ms GROUP BY set_id),
+            ev AS MATERIALIZED (
+              SELECT c.set_id, d.vid,
+                     CASE WHEN s.vid IS NOT NULL THEN 1.0/c.ns ELSE 0.0 END AS e,
+                     d.degree
+              FROM deg d CROSS JOIN cnt c
+              LEFT JOIN ms s ON s.set_id = c.set_id AND s.vid = d.vid),
+            mr1 AS MATERIALIZED (
+              SELECT x.set_id, x.vid,
+                     0.15*x.e + 0.85*coalesce(m.s, 0) AS rank, x.degree, x.e
+              FROM ev x LEFT JOIN (
+                SELECT r.set_id, s.dst AS vid, sum(r.e/r.degree) AS s
+                FROM sym s JOIN ev r ON s.src = r.vid GROUP BY r.set_id, s.dst
+              ) m ON m.set_id = x.set_id AND m.vid = x.vid
+            )
+            SELECT x.set_id, x.e_vid AS vid,
+                   round(0.15*x.e + 0.85*coalesce(m.s, 0), 6) AS rank
+            FROM (SELECT set_id, vid AS e_vid, e FROM ev) x LEFT JOIN (
+              SELECT r.set_id, s.dst AS vid, sum(r.rank/r.degree) AS s
+              FROM sym s JOIN mr1 r ON s.src = r.vid GROUP BY r.set_id, s.dst
+            ) m ON m.set_id = x.set_id AND m.vid = x.e_vid
         """,
         "ppr_iter2": f"""
             WITH {E},
