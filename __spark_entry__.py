@@ -378,6 +378,15 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(load_table(spark, sf_dir, "documents"))
 
 
+def q_collocations(spark, sf_dir):
+    """Corpus top-20 collocations by PMI (min bigram count 5), ranked on
+    the 6dp-rounded score with (v, w) tie-break — collocation extraction
+    over the documents table."""
+    from tric_spark.operators.lm_score import collocations_topk
+
+    return collocations_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rules quality gate (Rae et al. 2021 Table A1 shape) over the
     documents table: token/mean-word-length/stopword/repetition signals,
@@ -951,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "gopher_filter": q_gopher_filter,
         "lm_perplexity": q_lm_perplexity,
+        "collocations": q_collocations,
         "adamic_adar": q_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -2471,6 +2481,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(nll), 6) AS avg_nll,
                    round(exp(avg(nll)), 6) AS ppl
             FROM sc GROUP BY doc_id
+        """,
+        # PMI collocations over the same bigram pass as lm_perplexity;
+        # rank on the ROUNDED pmi, (v, w) tie-break, min_count 5
+        "collocations": """
+            WITH ft AS (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS t
+                        FROM documents),
+            bg AS (SELECT t[i] AS v, t[i+1] AS w
+                   FROM ft, unnest(generate_series(1, len(t)-1)) AS u(i)
+                   WHERE len(t) >= 2),
+            cvw AS (SELECT v, w, count(*) AS n_vw FROM bg GROUP BY v, w
+                    HAVING count(*) >= 5),
+            c1 AS (SELECT x AS t, count(*) AS n_t
+                   FROM (SELECT unnest(t) AS x FROM ft) GROUP BY x),
+            bt AS (SELECT count(*) AS b FROM bg),
+            tt AS (SELECT sum(n_t)::DOUBLE AS n FROM c1),
+            scored AS (
+              SELECT p.v, p.w, p.n_vw,
+                     round(ln((p.n_vw / (SELECT b FROM bt))
+                              / ((a.n_t / (SELECT n FROM tt))
+                                 * (c.n_t / (SELECT n FROM tt)))), 6) AS pmi
+              FROM cvw p JOIN c1 a ON a.t = p.v JOIN c1 c ON c.t = p.w)
+            SELECT v, w, n_vw, pmi, rank FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY pmi DESC, v ASC, w ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 20
         """,
         # Gopher quality gate: nonempty-token stats (expression-level) +
         # the repetition_metrics gram chains; rules on the ROUNDED signals

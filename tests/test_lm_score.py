@@ -91,3 +91,52 @@ def test_add_k_knob(spark):
         for r in lm_perplexity(_docs(spark, TEXTS), add_k=0.1).collect()
     }
     assert a == {i: v[2] for i, v in _brute(TEXTS, k=0.1).items()}
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+from tric_spark.operators.lm_score import collocations_topk  # noqa: E402
+
+
+def _pmi_brute(texts, k, min_count):
+    cvw, c1 = {}, {}
+    bt = tt = 0
+    for t in texts:
+        toks = [x for x in (t or "").split(" ") if x]
+        tt += len(toks)
+        for x in toks:
+            c1[x] = c1.get(x, 0) + 1
+        for bg in zip(toks, toks[1:]):
+            bt += 1
+            cvw[bg] = cvw.get(bg, 0) + 1
+    rows = [
+        (v, w, n, round(math.log((n / bt) / ((c1[v] / tt) * (c1[w] / tt))), 6))
+        for (v, w), n in cvw.items()
+        if n >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return [(v, w, n, p, i + 1) for i, (v, w, n, p) in enumerate(rows[:k])]
+
+
+def test_collocations_vs_brute(spark):
+    texts = [
+        "new york is big and new york is loud",
+        "the new york subway runs all night",
+        "a b a b a b a b",
+        "new york again and again and again",
+    ]
+    got = sorted(
+        (r.v, r.w, r.n_vw, r.pmi, r.rank)
+        for r in collocations_topk(_docs(spark, texts), k=5, min_count=2).collect()
+    )
+    assert got == sorted(_pmi_brute(texts, 5, 2))
+    # "new york" is a genuine collocation: always adjacent when present
+    top = min(_pmi_brute(texts, 5, 2), key=lambda r: r[4])
+    assert (top[0], top[1]) in {("a", "b"), ("b", "a"), ("new", "york")}
+
+
+def test_collocations_min_count_guard(spark):
+    texts = ["x y once only", "p q p q p q"]
+    got = [(r.v, r.w) for r in collocations_topk(_docs(spark, texts), k=10, min_count=2).collect()]
+    assert ("x", "y") not in got
+    assert ("p", "q") in got

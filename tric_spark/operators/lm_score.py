@@ -31,7 +31,7 @@ score join shuffles on (v,w) with AQE splitting the stopword-pair skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tric_spark.operators.textstats import tokens_col
@@ -93,4 +93,64 @@ def lm_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("nll")), 6).alias("ppl"),
+    )
+
+
+def collocations_topk(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """(v, w, n_vw, pmi, rank) — the corpus's top-``k`` collocations by
+    pointwise mutual information (Church & Hanks, Comp. Ling. 16(1), 1990):
+    pmi = ln(P(v,w) / (P(v)·P(w))) with bigram probability over the bigram
+    total and unigram probabilities over the token total. ``min_count``
+    drops the hapax noise PMI is notoriously dominated by (the standard
+    guard). Ranking uses the 6dp-ROUNDED pmi with (v, w) tie-break.
+
+    100-TB shape: the same one-explode bigram pass as
+    :func:`lm_perplexity`; totals fold in as broadcast 1-row aggregates;
+    the global top-k is a two-phase partial top-k (per-partition survivors
+    → one ≤ k·n_partitions sort), never a full sort of the bigram table."""
+    bg = _doc_bigrams(docs)
+    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_vw")).filter(
+        F.col("n_vw") >= min_count
+    )
+    toks = docs.select(
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("t")
+    )
+    c1 = toks.groupBy(F.col("t")).agg(F.count(F.lit(1)).alias("n_t"))
+    totals = bg.agg(F.count(F.lit(1)).alias("_bt")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("_tt"))
+    )
+    scored = (
+        cvw.join(c1.select(F.col("t").alias("v"), F.col("n_t").alias("nv")), "v")
+        .join(c1.select(F.col("t").alias("w"), F.col("n_t").alias("nw")), "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "w",
+            "n_vw",
+            F.round(
+                F.log(
+                    (F.col("n_vw") / F.col("_bt"))
+                    / ((F.col("nv") / F.col("_tt")) * (F.col("nw") / F.col("_tt")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    part = Window.partitionBy("_pid").orderBy(
+        F.col("pmi").desc(), F.col("v").asc(), F.col("w").asc()
+    )
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(part))
+        .filter(F.col("_prn") <= k)
+        .drop("_pid", "_prn")
+    )
+    w_all = Window.orderBy(F.col("pmi").desc(), F.col("v").asc(), F.col("w").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
     )
