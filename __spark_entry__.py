@@ -615,6 +615,22 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: synthetic redirect
+    map src = docs with doc_id % 3 == 1, target = (13·id + 7) mod n
+    (chains up to 5 hops at sf0.01, no cycles — the cycle path is
+    unit-tested); both sides run 8 doubling rounds."""
+    from tric_spark.operators.redirects import resolve_redirects
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    red = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 7) % n).alias("dst"),
+    ).filter((F.col("src") % 3 == 1) & (F.col("src") != F.col("dst")))
+    return resolve_redirects(red, max_doublings=8)
+
+
 def q_multi_ppr_iter2(spark, sf_dir):
     """Batch personalized PageRank: THREE seed sets (vid % 50 = 0/1/2)
     advance together in one (set_id, vid)-keyed state over the undirected
@@ -984,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "coloring": q_coloring,
         "multi_ppr_iter2": q_multi_ppr_iter2,
+        "resolve_redirects": q_resolve_redirects,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -2137,6 +2154,26 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        # pointer doubling: r{i+1}(v) = r{i}(r{i}(v)) where defined —
+        # mirrors operators/redirects.py; resolved ⇔ final not a src
+        "resolve_redirects": f"""
+            WITH nd AS (SELECT count(*) AS c FROM documents),
+            r0 AS MATERIALIZED (
+              SELECT doc_id AS src,
+                     (13 * doc_id + 7) % (SELECT c FROM nd) AS cur
+              FROM documents
+              WHERE doc_id % 3 = 1
+                AND doc_id <> (13 * doc_id + 7) % (SELECT c FROM nd)),
+            {', '.join(
+                f'r{i + 1} AS MATERIALIZED (SELECT a.src,'
+                f' coalesce(b.cur, a.cur) AS cur'
+                f' FROM r{i} a LEFT JOIN r{i} b ON b.src = a.cur)'
+                for i in range(8)
+            )}
+            SELECT src, cur AS final,
+                   cur NOT IN (SELECT src FROM r0) AS resolved
+            FROM r8
         """,
         # batch PPR: the ppr_iter2 unroll with a set_id dimension — the
         # sym graph has no dangling vertices (every vertex has degree ≥ 1),
