@@ -91,3 +91,45 @@ def test_thresholds_are_knobs(spark):
     assert gopher_quality_filter(
         df, min_tokens=2, min_stop_hits=1, max_top2_frac=1.0, max_dup3_frac=1.0
     ).collect()[0].keep
+
+
+def test_map_only_equals_batch_gate(spark):
+    from tric_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r.doc_id: tuple(r)[1:] for r in gopher_quality_filter(docs).collect()}
+    b = {
+        r.doc_id: tuple(r)[1:]
+        for r in gopher_quality_filter(docs, map_only=True).collect()
+    }
+    assert a == b and len(a) == 500
+
+
+def test_stream_gopher_matches_batch(spark, tmp_path):
+    """Streaming gate (map-only, stateless, append) must keep exactly the
+    batch gate's keep set, with the full input rows passing through."""
+    from tric_spark.sources.tables import load_table
+    from tric_spark.streaming.quality import stream_gopher_kept
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").limit(300)
+    src = str(tmp_path / "qsrc")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_gopher_kept(stream)
+        .writeStream.format("memory")
+        .queryName("gated_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from gated_docs").collect()
+    q.stop()
+    want = {
+        r.doc_id
+        for r in gopher_quality_filter(docs).filter("keep").collect()
+    }
+    assert {r.doc_id for r in got} == want
+    assert set(got[0].asDict()) == set(docs.columns)  # full rows, no signals

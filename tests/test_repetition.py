@@ -81,3 +81,50 @@ def test_parallelism_invariant(spark):
     a = sorted(map(tuple, repetition_metrics(df).collect()))
     b = sorted(map(tuple, repetition_metrics(df.repartition(17)).collect()))
     assert a == b
+
+
+# --- expression-level twin ----------------------------------------------------
+
+def test_expr_twin_equals_batch_on_corpus(spark):
+    """repetition_metrics_expr must reproduce the explode-groupBy plan's
+    output EXACTLY — including the top-gram tie rule — on the real corpus."""
+    from tric_spark.operators.repetition import (
+        repetition_metrics,
+        repetition_metrics_expr,
+    )
+    from tric_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r.doc_id: (r.top2_frac, r.dup3_frac) for r in repetition_metrics(docs).collect()}
+    b = {r.doc_id: (r.top2_frac, r.dup3_frac) for r in repetition_metrics_expr(docs).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_expr_twin_edge_cases(spark):
+    from tric_spark.operators.repetition import (
+        repetition_metrics,
+        repetition_metrics_expr,
+    )
+
+    texts = [
+        "",            # no grams at all
+        "one",         # one token: no bigrams
+        "a b",         # exactly one bigram, count 1
+        "a b a b a b",  # heavy repetition; ties between 'a b' and 'b a'
+        "x y x z x y",  # tie between distinct grams → smallest wins
+        "w w w w w w w w",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.top2_frac, r.dup3_frac) for r in repetition_metrics(docs).collect()}
+    b = {r.doc_id: (r.top2_frac, r.dup3_frac) for r in repetition_metrics_expr(docs).collect()}
+    assert a == b
+
+
+def test_expr_twin_has_no_shuffle(spark):
+    from tric_spark.operators.repetition import repetition_metrics_expr
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_metrics_expr(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -39,13 +39,20 @@ def gopher_quality_filter(
     min_stop_hits: int = 2,
     max_top2_frac: float = 0.12,
     max_dup3_frac: float = 0.6,
+    map_only: bool = False,
+    keep_input_cols: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, mean_word_len, stop_hits, top2_frac, dup3_frac,
     n_failed, keep) — every Gopher-family signal plus per-document rule
     attribution. ``stop_hits`` counts DISTINCT stopwords present (Gopher's
     "contains ≥ 2 of a required-word list"); ``n_failed`` is how many of
     the six rules the document violates; ``keep`` ⇔ n_failed = 0.
-    NULL-text documents fail the token rule (0 tokens) by definition."""
+    NULL-text documents fail the token rule (0 tokens) by definition.
+
+    ``map_only=True`` computes the repetition signals with the
+    expression-level twin (repetition.repetition_metrics_expr) instead of
+    the two explode-groupBy passes: identical output, ZERO shuffles and no
+    joins — the streaming-safe form (see streaming/quality.py)."""
     toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
     n_tokens = F.size(toks)
     total_chars = F.aggregate(
@@ -58,21 +65,40 @@ def gopher_quality_filter(
         (F.array_contains(toks, s).cast("int") for s in STOPWORDS),
         F.lit(0),
     )
-    stats = docs.select(
-        "doc_id",
-        F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),
-        F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
-        F.coalesce(stop_hits, F.lit(0)).alias("stop_hits"),
-    )
-    rep = repetition_metrics(docs)
-    joined = stats.join(rep, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "mean_word_len",
-        "stop_hits",
-        F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
-        F.coalesce("dup3_frac", F.lit(0.0)).alias("dup3_frac"),
-    )
+    if map_only:
+        from tric_spark.operators.repetition import _rep_masses_expr
+
+        ln = F.greatest(F.length("text"), F.lit(1))
+        top2 = F.round(_rep_masses_expr(2)["tm"] / ln, 6)
+        dup3 = F.round(F.least(F.lit(1.0), _rep_masses_expr(3)["dm"] / ln), 6)
+        # keep_input_cols: the streaming-kept shape — every signal is an
+        # expression of the row, so the full row can ride along with no
+        # join (a stream-stream self-join would otherwise need watermarks)
+        lead = [docs["*"]] if keep_input_cols else [F.col("doc_id")]
+        joined = docs.select(
+            *lead,
+            F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),
+            F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
+            F.coalesce(stop_hits, F.lit(0)).alias("stop_hits"),
+            F.coalesce(top2, F.lit(0.0)).alias("top2_frac"),
+            F.coalesce(dup3, F.lit(0.0)).alias("dup3_frac"),
+        )
+    else:
+        stats = docs.select(
+            "doc_id",
+            F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),
+            F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
+            F.coalesce(stop_hits, F.lit(0)).alias("stop_hits"),
+        )
+        rep = repetition_metrics(docs)
+        joined = stats.join(rep, "doc_id", "left").select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "stop_hits",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup3_frac", F.lit(0.0)).alias("dup3_frac"),
+        )
     fails = (
         (F.col("n_tokens") < min_tokens).cast("int")
         + (F.col("n_tokens") > max_tokens).cast("int")

@@ -99,3 +99,70 @@ def repetition_metrics(
             ).alias(f"dup{dup_n}_frac"),
         )
     )
+
+
+def _rep_masses_expr(n: int, text: str | Column = "text") -> Column:
+    """struct(tm, dm) — the per-document gram masses as ONE expression
+    (no explode, no shuffle): a single F.aggregate scan over the SORTED
+    positional grams with a struct accumulator tracking the current run,
+    the duplicate mass of finished runs, and the best (count, gram) seen.
+    Tie rule matches _gram_stats' window exactly: the best gram replaces
+    only on a STRICTLY longer run, and the traversal is ascending, so
+    among equal counts the lexicographically smallest gram wins.
+
+    This is the map-only twin of the explode-groupBy batch plan — the form
+    a STREAMING quality gate needs (stateless, per-row): the batch plan
+    shuffles once per metric for cluster-wide partial aggregation, this
+    one trades that for O(|doc| log |doc|) in-row work."""
+    grams = F.array_sort(positional_ngrams(n, text))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("brun"),
+        F.lit(None).cast("string").alias("bgram"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        dup2 = F.when(
+            (~same) & (acc["run"] >= 2),
+            acc["dup"] + acc["run"] * F.length(acc["prev"]),
+        ).otherwise(acc["dup"])
+        better = run2 > acc["brun"]
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            dup2.alias("dup"),
+            F.when(better, run2).otherwise(acc["brun"]).alias("brun"),
+            F.when(better, g).otherwise(acc["bgram"]).alias("bgram"),
+        )
+
+    def finish(acc: Column) -> Column:
+        dupf = F.when(
+            acc["run"] >= 2, acc["dup"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup"])
+        top = F.when(
+            acc["bgram"].isNotNull(), acc["brun"] * F.length(acc["bgram"])
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(top.alias("tm"), dupf.alias("dm"))
+
+    return F.aggregate(grams, init, step, finish)
+
+
+def repetition_metrics_expr(
+    docs: DataFrame, top_n: int = 2, dup_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Map-only twin of :func:`repetition_metrics` — identical output
+    (asserted by test), zero shuffles, streaming-safe (pure per-row
+    expressions, no state). Use on streams or when the per-doc in-row
+    O(|doc| log |doc|) beats two cluster shuffles."""
+    top = _rep_masses_expr(top_n)["tm"]
+    dup = _rep_masses_expr(dup_n)["dm"]
+    ln = F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        id_col,
+        F.round(top / ln, 6).alias(f"top{top_n}_frac"),
+        F.round(F.least(F.lit(1.0), dup / ln), 6).alias(f"dup{dup_n}_frac"),
+    )
