@@ -301,6 +301,12 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Broder containment (asymmetric overlap — the quote/subset detector)
+    over the same LSH candidate pairs as ngram_jaccard; 4dp both sides."""
+    return dedup.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_duplicate_groups(load_table(spark, sf_dir, "documents"))
 
@@ -962,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "stream_neardup_batch": q_stream_neardup_batch,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "simhash_groups": q_simhash_groups,
         "simhash_candidates": q_simhash_candidates,
         "neardup_groups": q_neardup_groups,
@@ -2344,6 +2351,15 @@ def oracle_sql() -> dict[str, str]:
                   for b in range(4)
               )}
             )
+        """,
+        "ngram_containment": f"""
+            WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}
+            SELECT c.a, c.b,
+                   round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                         / greatest(len(x.g), 1), 4) AS containment_a,
+                   round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                         / greatest(len(y.g), 1), 4) AS containment_b
+            FROM cand c JOIN grams x ON x.doc_id = c.a JOIN grams y ON y.doc_id = c.b
         """,
         "ngram_jaccard": f"""
             WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()}

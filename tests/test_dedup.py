@@ -282,3 +282,48 @@ def test_exact_dedup_null_text(spark):
     assert groups[0].n_dups == 2 and groups[0].min_doc_id == 1
     kept = sorted(r.doc_id for r in dedup.dedup_exact(docs).collect())
     assert kept == [1, 3, 4, 5]
+
+
+def test_containment_detects_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1 on the
+    short side, low Jaccard — the case the asymmetric measure exists for."""
+    from tric_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = ngram_containment_pairs(docs, cand).collect()[0]
+    assert r.containment_a == 1.0  # every shingle of the short doc is in the long
+    assert r.containment_b < 0.3
+
+
+def test_containment_matches_python_brute(spark):
+    from tric_spark.operators.dedup import ngram_containment_pairs
+
+    texts = {
+        1: "a b c d e f g",
+        2: "c d e f g h i j",
+        3: "a b c a b c a b c",
+    }
+
+    def sh(t, n=3):
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    got = {
+        (r.a, r.b): (r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs(docs, cand).collect()
+    }
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        ia = sh(texts[a]) & sh(texts[b])
+        assert got[(a, b)] == (
+            round(len(ia) / len(sh(texts[a])), 4),
+            round(len(ia) / len(sh(texts[b])), 4),
+        )

@@ -371,3 +371,35 @@ def simhash_duplicate_groups(docs: DataFrame, bits: int = 8) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, candidates: DataFrame | None = None, ngram: int = 3
+) -> DataFrame:
+    """(a, b, containment_a, containment_b) — the ASYMMETRIC overlap
+    measure (Broder 1997's containment, alongside resemblance/Jaccard):
+    containment_a = |grams(a) ∩ grams(b)| / |grams(a)| — "how much of a is
+    inside b". The quote/subset detector Jaccard misses: a paragraph fully
+    quoted inside a much longer page has low Jaccard but containment ≈ 1
+    on the short side. Same bounded-candidates shape as
+    :func:`ngram_jaccard_pairs` (LSH by default); 4dp both sides."""
+    if candidates is None:
+        candidates = lsh_candidate_pairs(docs)
+    g = docs.select("doc_id", shingles_col(ngram).alias("grams"))
+    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    return (
+        candidates.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter / F.greatest(F.size("ga"), F.lit(1)), 4).alias(
+                "containment_a"
+            ),
+            F.round(inter / F.greatest(F.size("gb"), F.lit(1)), 4).alias(
+                "containment_b"
+            ),
+        )
+    )
