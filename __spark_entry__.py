@@ -621,6 +621,24 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted multi-source shortest paths (Bellman–Ford supersteps) over
+    the DIRECTED doc graph with deterministic weights (src+dst) % 7 + 1;
+    sources = doc_id % 97 == 0. Both sides bound at 16 rounds (sf0.01
+    converges in 10; exhausted rounds are no-ops)."""
+    from tric_spark.operators.sssp import shortest_paths
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    directed = doc_edges_directed(spark, sf_dir)
+    ew = directed.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight")
+    )
+    srcs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    ).filter(F.col("vid") % 97 == 0)
+    return shortest_paths(ew, srcs, max_rounds=16)
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution by pointer doubling: synthetic redirect
     map src = docs with doc_id % 3 == 1, target = (13·id + 7) mod n
@@ -1008,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "multi_ppr_iter2": q_multi_ppr_iter2,
         "resolve_redirects": q_resolve_redirects,
+        "sssp_weighted": q_sssp_weighted,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -2161,6 +2180,31 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        # Bellman-Ford: synchronous full relaxation, min-folded per
+        # round - frontier vs full-table forms converge to the same
+        # fixpoint within the shared 16-round bound
+        "sssp_weighted": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            ew AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM dlinks),
+            d0 AS MATERIALIZED (SELECT doc_id AS vid, 0.0 AS dist FROM documents WHERE doc_id % 97 = 0),
+            d1 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d0 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d0 d ON d.vid = e.src) GROUP BY vid),
+            d2 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d1 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d1 d ON d.vid = e.src) GROUP BY vid),
+            d3 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d2 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d2 d ON d.vid = e.src) GROUP BY vid),
+            d4 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d3 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d3 d ON d.vid = e.src) GROUP BY vid),
+            d5 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d4 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d4 d ON d.vid = e.src) GROUP BY vid),
+            d6 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d5 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d5 d ON d.vid = e.src) GROUP BY vid),
+            d7 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d6 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d6 d ON d.vid = e.src) GROUP BY vid),
+            d8 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d7 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d7 d ON d.vid = e.src) GROUP BY vid),
+            d9 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d8 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d8 d ON d.vid = e.src) GROUP BY vid),
+            d10 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d9 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d9 d ON d.vid = e.src) GROUP BY vid),
+            d11 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d10 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d10 d ON d.vid = e.src) GROUP BY vid),
+            d12 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d11 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d11 d ON d.vid = e.src) GROUP BY vid),
+            d13 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d12 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d12 d ON d.vid = e.src) GROUP BY vid),
+            d14 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d13 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d13 d ON d.vid = e.src) GROUP BY vid),
+            d15 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d14 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d14 d ON d.vid = e.src) GROUP BY vid),
+            d16 AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (SELECT vid, dist FROM d15 UNION ALL SELECT e.dst AS vid, d.dist + e.w AS dist FROM ew e JOIN d15 d ON d.vid = e.src) GROUP BY vid)
+            SELECT vid, dist FROM d16
         """,
         # pointer doubling: r{i+1}(v) = r{i}(r{i}(v)) where defined —
         # mirrors operators/redirects.py; resolved ⇔ final not a src
