@@ -621,6 +621,16 @@ def q_betweenness(spark, sf_dir):
     return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    """Clauset–Shalizi–Newman continuous-MLE power-law exponent of the doc
+    graph's degree distribution (tail d ≥ 2, ½-shift correction) — the
+    standard web-graph measurement, one aggregate."""
+    from tric_spark.operators.digraph_stats import powerlaw_alpha
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return powerlaw_alpha(deg, d_min=2)
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted multi-source shortest paths (Bellman–Ford supersteps) over
     the DIRECTED doc graph with deterministic weights (src+dst) % 7 + 1;
@@ -1027,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_ppr_iter2": q_multi_ppr_iter2,
         "resolve_redirects": q_resolve_redirects,
         "sssp_weighted": q_sssp_weighted,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
@@ -2180,6 +2191,16 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        # CSN continuous MLE over the deg tail; ln() not log()
+        "powerlaw_alpha": f"""
+            WITH {E},
+            tail AS (SELECT degree::DOUBLE AS d FROM deg WHERE degree >= 2),
+            a AS (SELECT count(*) AS n, sum(ln(d / 1.5)) AS s FROM tail)
+            SELECT round(1.0 + n / s, 6) AS alpha,
+                   round((n / s) / sqrt(n), 6) AS sigma,
+                   n::BIGINT AS n_tail, 2::BIGINT AS d_min
+            FROM a
         """,
         # Bellman-Ford: synchronous full relaxation, min-folded per
         # round - frontier vs full-table forms converge to the same

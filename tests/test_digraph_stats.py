@@ -58,3 +58,40 @@ def test_star_is_perfectly_disassortative(spark):
     sym = graph.symmetrize(canon)
     got = degree_assortativity(sym, graph.degrees(sym)).collect()[0].assortativity
     assert got == pytest.approx(-1.0, abs=1e-6)
+
+
+# --- power-law exponent MLE ---------------------------------------------------
+
+def test_powerlaw_alpha_matches_numpy_mle(spark):
+    import numpy as np
+
+    from tric_spark.operators.digraph_stats import powerlaw_alpha
+
+    degs = [1, 1, 2, 2, 2, 3, 3, 4, 5, 5, 6, 8, 9, 12, 20, 40]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(degs)], "vid long, degree long")
+    r = powerlaw_alpha(df, d_min=2).collect()[0]
+    tail = np.array([d for d in degs if d >= 2], dtype=float)
+    s = np.sum(np.log(tail / 1.5))
+    alpha = 1.0 + len(tail) / s
+    assert r.alpha == round(alpha, 6)
+    assert r.sigma == round((len(tail) / s) / np.sqrt(len(tail)), 6)
+    assert r.n_tail == len(tail) and r.d_min == 2
+
+
+def test_powerlaw_alpha_recovers_planted_exponent(spark):
+    """Degrees drawn from a pure Pareto(α=2.5) tail: the MLE must land
+    near 2.5 (deterministic fixture via inverse-CDF on a fixed grid)."""
+    import numpy as np
+
+    from tric_spark.operators.digraph_stats import powerlaw_alpha
+
+    u = (np.arange(2000) + 0.5) / 2000.0
+    degs = np.floor(2.0 * u ** (-1.0 / 1.5)).astype(int)  # α = 1 + 1.5 = 2.5
+    df = spark.createDataFrame(
+        [(int(i), int(d)) for i, d in enumerate(degs)], "vid long, degree long"
+    )
+    # floor-discretization biases the continuous MLE low near the cutoff
+    # (CSN §3.4 — the ½-shift only partly corrects it); fit deeper in the
+    # tail where the bias shrinks and allow the residual
+    r = powerlaw_alpha(df, d_min=5).collect()[0]
+    assert 2.25 < r.alpha < 2.6

@@ -65,3 +65,28 @@ def degree_assortativity(sym_edges: DataFrame, degrees: DataFrame) -> DataFrame:
         .join(dv, "dst")
         .agg(F.round(F.corr("du", "dv"), 6).alias("assortativity"))
     )
+
+
+def powerlaw_alpha(degrees: DataFrame, d_min: int = 2) -> DataFrame:
+    """One row (alpha, sigma, n_tail, d_min) — the continuous-MLE power-law
+    exponent of the degree distribution (Clauset, Shalizi & Newman, SIAM
+    Rev. 51(4), 2009 eq. 3.1): α = 1 + n / Σ ln(d_i / (d_min − ½)) over the
+    tail d_i ≥ d_min, with standard error σ = (α−1)/√n. THE number every
+    web-graph measurement paper reports (the web's in-degree exponent
+    ≈ 2.1, Broder et al. 2000); the ½-shift is the standard discrete-data
+    correction. One filter + one aggregate — no sort, no collect; 6dp."""
+    tail = degrees.select(F.col("degree").cast("double").alias("d")).filter(
+        F.col("d") >= float(d_min)
+    )
+    agg = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("d") / (float(d_min) - 0.5))).alias("_s"),
+    )
+    return agg.select(
+        F.round(F.lit(1.0) + F.col("n_tail") / F.col("_s"), 6).alias("alpha"),
+        F.round(
+            (F.col("n_tail") / F.col("_s")) / F.sqrt(F.col("n_tail")), 6
+        ).alias("sigma"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+    )
