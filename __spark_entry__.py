@@ -786,6 +786,23 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Interpolated 0.9-effective diameter from the HyperANF curve — the
+    standard web-graph readout (Palmer KDD'02 / Boldi WWW'11), derived
+    in-plan (no collect) from the 6dp-rounded curve so both engines
+    interpolate from identical inputs."""
+    from tric_spark.operators.anf import (
+        effective_diameter_from_curve,
+        hyper_anf,
+    )
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    curve = hyper_anf(sym, verts, max_h=6).select(
+        "h", F.round("nf", 6).alias("nf")
+    )
+    return effective_diameter_from_curve(curve, ratio=0.9)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language data-mix sampling (md5-bucketed keys,
     integer thresholds — no float boundary on either engine)."""
@@ -1041,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
+        "effective_diameter": q_effective_diameter,
         "sample_stratified": q_sample_stratified,
         "repetition_metrics": q_repetition_metrics,
         "vocabulary": q_vocabulary,
@@ -2034,6 +2052,23 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        # interpolated 0.9-effective diameter over the _anf_sql curve;
+        # the hit row's nf > prev by first-hit construction (no /0)
+        "effective_diameter": f"""
+            WITH curve AS MATERIALIZED ({_anf_sql(max_h=6)}),
+            mx AS (SELECT nf AS nfm FROM curve ORDER BY h DESC LIMIT 1),
+            fl AS (SELECT h, nf, lag(nf) OVER (ORDER BY h) AS prev FROM curve),
+            hit AS (SELECT h, nf, prev FROM fl
+                    WHERE nf >= 0.9 * (SELECT nfm FROM mx)
+                    ORDER BY h LIMIT 1)
+            SELECT CASE WHEN (SELECT prev FROM hit) IS NULL THEN 0.0
+                   ELSE round((SELECT h FROM hit) - 1
+                        + (0.9 * (SELECT nfm FROM mx) - (SELECT prev FROM hit))
+                          / ((SELECT nf FROM hit) - (SELECT prev FROM hit)), 6)
+                   END AS d_eff,
+                   (SELECT h FROM hit)::BIGINT AS h_ceil,
+                   (SELECT nfm FROM mx) AS nf_max
         """,
         "anf_curve": _anf_sql(max_h=6),
         "sample_stratified": """

@@ -120,3 +120,59 @@ def test_parallelism_invariant(spark):
         edges_df(spark, _sym(pairs)).repartition(17), verts, max_h=3
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- effective diameter -------------------------------------------------------
+
+def test_effective_diameter_interpolation_golden(spark):
+    from tric_spark.operators.anf import effective_diameter_from_curve
+
+    # nf: 10 → 50 → 90 → 100; target 0.9·100 = 90 hit exactly at h=2
+    curve = spark.createDataFrame(
+        [(0, 10.0), (1, 50.0), (2, 90.0), (3, 100.0)], "h long, nf double"
+    )
+    r = effective_diameter_from_curve(curve, ratio=0.9).collect()[0]
+    assert (r.d_eff, r.h_ceil, r.nf_max) == (2.0, 2, 100.0)
+    # target between h=1 and h=2: 0.7·100 = 70 → 1 + (70−50)/(90−50) = 1.5
+    r = effective_diameter_from_curve(curve, ratio=0.7).collect()[0]
+    assert r.d_eff == 1.5
+
+
+def test_effective_diameter_zero_when_start_covers(spark):
+    from tric_spark.operators.anf import effective_diameter_from_curve
+
+    curve = spark.createDataFrame(
+        [(0, 99.0), (1, 100.0)], "h long, nf double"
+    )
+    r = effective_diameter_from_curve(curve, ratio=0.9).collect()[0]
+    assert r.d_eff == 0.0 and r.h_ceil == 0
+
+
+def test_effective_diameter_on_hyperanf_curve(spark):
+    """Derivation over a real hyper_anf curve must equal the python
+    computation from the SAME collected (rounded) curve."""
+    from pyspark.sql import functions as F
+
+    from tric_spark.operators.anf import (
+        effective_diameter_from_curve,
+        hyper_anf,
+    )
+
+    pairs = er_graph(n=60, p_inv=5, seed=47)
+    both = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    edges = edges_df(spark, both)
+    verts = spark.range(60).withColumnRenamed("id", "vid")
+    curve = hyper_anf(edges, verts, max_h=6).select(
+        "h", F.round("nf", 6).alias("nf")
+    )
+    rows = sorted((r.h, r.nf) for r in curve.collect())
+    nfm = rows[-1][1]
+    target = 0.9 * nfm
+    h, nf = next((h, nf) for h, nf in rows if nf >= target)
+    if h == 0:
+        expect = 0.0
+    else:
+        prev = dict(rows)[h - 1]
+        expect = round(h - 1 + (target - prev) / (nf - prev), 6)
+    r = effective_diameter_from_curve(curve).collect()[0]
+    assert r.d_eff == expect and r.h_ceil == h

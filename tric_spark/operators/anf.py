@@ -157,3 +157,44 @@ def k_hop_counts(sym_edges: DataFrame, k: int = 2) -> DataFrame:
         .groupBy("vid")
         .agg(F.count("*").alias("n_reach"))
     )
+
+
+def effective_diameter_from_curve(curve: DataFrame, ratio: float = 0.9) -> DataFrame:
+    """One row (d_eff, h_ceil, nf_max) — the interpolated effective
+    diameter from a neighborhood-function curve (h, nf): the smallest h
+    where nf(h) ≥ ratio·nf(h_max), linearly interpolated between h−1 and
+    h (the ANF/HyperANF reporting convention, Palmer et al. KDD'02 §3;
+    Boldi–Rosa–Vigna WWW'11 report exactly this number). Callers pass a
+    6dp-ROUNDED curve so the interpolation arithmetic starts from
+    engine-identical inputs (hyper_anf's estimates are bit-replayable,
+    the global sums are rounded — see _anf_sql's contract).
+
+    The curve is max_h+1 rows, so the unpartitioned lag window is a
+    ≤-dozen-row single partition BY CONSTRUCTION — not a scale hazard."""
+    from pyspark.sql import Window
+
+    mx = curve.orderBy(F.desc("h")).limit(1).select(F.col("nf").alias("nfm"))
+    w = Window.orderBy("h")
+    fl = (
+        curve.withColumn("prev", F.lag("nf").over(w))
+        .crossJoin(F.broadcast(mx))
+    )
+    hit = (
+        fl.filter(F.col("nf") >= F.lit(ratio) * F.col("nfm"))
+        .orderBy("h")
+        .limit(1)
+    )
+    target = F.lit(ratio) * F.col("nfm")
+    return hit.select(
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("h") - 1
+                + (target - F.col("prev")) / (F.col("nf") - F.col("prev")),
+                6,
+            )
+        )
+        .alias("d_eff"),
+        F.col("h").cast("long").alias("h_ceil"),
+        F.col("nfm").alias("nf_max"),
+    )
