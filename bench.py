@@ -171,6 +171,10 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
         lambda: synth.rgg_edges(spark, min(n_pages, 100_000)).count(),
     )
     timed(
+        "rmat_build",
+        lambda: synth.rmat_edges(spark, 4 * n_pages, scale=18).count(),
+    )
+    timed(
         "ann_topk",
         lambda: similarity.ann_bruteforce_topk(
             emb, emb.filter(F.col("vec_id") < 8), k=10

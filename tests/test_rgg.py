@@ -84,3 +84,56 @@ def test_rgg_cc_and_pagerank_cross_family(spark):
     assert got == want
     n_comps = len(set(want.values()))
     assert n_comps > 3  # genuinely fragmented at 0.6×r_conn
+
+
+# --- R-MAT generator ----------------------------------------------------------
+
+def test_rmat_matches_python_replay(spark):
+    import hashlib
+
+    from tric_spark.synth import rmat_edges
+
+    n_edges, scale, seed = 400, 6, 42
+    a, b, c = 0.57, 0.19, 0.19
+    got = sorted(
+        (r.src, r.dst) for r in rmat_edges(spark, n_edges, scale, seed=seed).collect()
+    )
+
+    def edge(i):
+        s = d = 0
+        for lvl in range(scale):
+            h = hashlib.md5(f"rmat:{seed}:{i}:{lvl // 5}".encode()).hexdigest()
+            off = 6 * (lvl % 5)
+            u = int(h[off : off + 6], 16) / float(16**6)
+            if u >= a + b:
+                s += 1 << lvl
+            if (a <= u < a + b) or (u >= a + b + c):
+                d += 1 << lvl
+        return (s, d)
+
+    assert got == sorted(edge(i) for i in range(n_edges))
+
+
+def test_rmat_parallelism_invariant_and_bounded(spark):
+    from tric_spark.synth import rmat_edges
+
+    x = sorted((r.src, r.dst) for r in rmat_edges(spark, 500, 8).collect())
+    y = sorted(
+        (r.src, r.dst)
+        for r in rmat_edges(spark, 500, 8).repartition(17).collect()
+    )
+    assert x == y
+    assert all(0 <= s < 256 and 0 <= d < 256 for s, d in x)
+
+
+def test_rmat_is_skewed(spark):
+    """a=0.57 concentrates mass toward low ids: the max out-degree must be
+    far above the mean (the hub shape the generator exists to produce)."""
+    from collections import Counter
+
+    from tric_spark.synth import rmat_edges
+
+    rows = rmat_edges(spark, 3000, 8).collect()
+    deg = Counter(r.src for r in rows)
+    mean = 3000 / len(deg)
+    assert max(deg.values()) > 5 * mean

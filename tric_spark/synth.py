@@ -231,3 +231,62 @@ def rgg_edges(
         .dropDuplicates(["src", "dst"])
     )
     return geo.union(rnd)
+
+
+def rmat_edges(
+    spark: SparkSession,
+    n_edges: int,
+    scale: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst) — R-MAT/Kronecker directed edges over 2^scale vertices
+    (Chakrabarti, Zhan & Faloutsos SDM'04; a/b/c defaults are the
+    Graph500 parameters, d = 1−a−b−c = 0.05): per edge, ``scale``
+    recursive quadrant choices, each from one deterministic md5 uniform
+    keyed ("rmat", seed, edge index, level) — the engine-wide seedless-
+    randomness rule, so the edge set is identical at any parallelism and
+    replayable in python/SQL. Multi-edges and self-loops are emitted raw,
+    exactly as the generator family does — graph.canonical_edges is the
+    dedup stage downstream.
+
+    The hub skew this generator exists for (heavy-tailed in/out degrees —
+    the web-graph stress shape for the TC hub-split and AQE skew paths)
+    comes from a ≫ d; the whole build is spark.range + unrolled JVM
+    expressions: no Python, no shuffle, embarrassingly parallel."""
+    if not 0 < a + b + c < 1:
+        raise ValueError("need 0 < a+b+c < 1 (d = 1-a-b-c must be positive)")
+    e = spark.range(int(n_edges)).select(F.col("id").alias("_i"))
+    # one md5 yields five 24-bit uniforms (6 hex digits each) — 5 levels
+    # per hash call instead of 1; hashing dominates the generator cost
+    n_groups = (scale + 4) // 5
+    groups = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("rmat"),
+                F.lit(str(seed)),
+                F.col("_i").cast("string"),
+                F.lit(str(g)),
+            )
+        )
+        for g in range(n_groups)
+    ]
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        h = groups[lvl // 5]
+        u = (
+            F.conv(F.substring(h, 1 + 6 * (lvl % 5), 6), 16, 10).cast("double")
+            / F.lit(float(16**6))
+        )
+        src_bit = (u >= F.lit(a + b)).cast("long")
+        dst_bit = (
+            ((u >= F.lit(a)) & (u < F.lit(a + b)))
+            | (u >= F.lit(a + b + c))
+        ).cast("long")
+        src = src + F.shiftleft(src_bit, lvl)
+        dst = dst + F.shiftleft(dst_bit, lvl)
+    return e.select(src.alias("src"), dst.alias("dst"))
