@@ -786,6 +786,87 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary over lineitem (the relational-
+    checklist exerciser on the non-graph tables): filter pushes to the
+    scan, one map-side-combined groupBy, money sums rounded 4dp / avgs
+    6dp on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shape shipping priority: BUILDING-segment orders placed
+    before 1998-03-15 with lineitems shipped after it, top-10 open-order
+    revenue (rounded 4dp; orderkey tie-break)."""
+    cut = F.lit("1998-03-15").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shape local supplier volume: revenue per EUROPE nation from
+    1996 orders where customer and supplier share the nation — the
+    multi-way broadcast-dim join exerciser (region/nation broadcast; the
+    fact joins shuffle)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
 def q_effective_diameter(spark, sf_dir):
     """Interpolated 0.9-effective diameter from the HyperANF curve — the
     standard web-graph readout (Palmer KDD'02 / Boldi WWW'11), derived
@@ -1059,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "sample_stratified": q_sample_stratified,
         "repetition_metrics": q_repetition_metrics,
         "vocabulary": q_vocabulary,
@@ -2052,6 +2136,51 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+              AND l.l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         # interpolated 0.9-effective diameter over the _anf_sql curve;
         # the hit row's nf > prev by first-hit construction (no /0)
