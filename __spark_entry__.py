@@ -786,6 +786,15 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_host_distribution(spark, sf_dir):
+    """Corpus domain-mix concentration (entropy / HHI / top-1 share over
+    the source column) — the sort-free balance diagnostics a data-mix
+    pipeline gates on."""
+    from tric_spark.operators.textstats import host_distribution
+
+    return host_distribution(load_table(spark, sf_dir, "documents"))
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shape pricing summary over lineitem (the relational-
     checklist exerciser on the non-graph tables): filter pushes to the
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "host_distribution": q_host_distribution,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2136,6 +2146,18 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        "host_distribution": """
+            WITH hc AS (SELECT coalesce(source, '') AS h, count(*) AS c
+                        FROM documents GROUP BY 1),
+            t AS (SELECT sum(c)::DOUBLE AS n FROM hc)
+            SELECT count(*) AS n_hosts,
+                   sum(c)::BIGINT AS n_docs,
+                   round(-sum((c / (SELECT n FROM t))
+                              * ln(c / (SELECT n FROM t))), 6) AS entropy,
+                   round(sum(pow(c / (SELECT n FROM t), 2)), 6) AS hhi,
+                   round(max(c / (SELECT n FROM t)), 6) AS top1_share
+            FROM hc
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -57,3 +57,40 @@ def test_parallelism_invariant(spark):
     a = sorted(map(tuple, vocabulary(df, k=5).collect()))
     b = sorted(map(tuple, vocabulary(df.repartition(13), k=5).collect()))
     assert a == b
+
+
+# --- host distribution ---------------------------------------------------------
+
+def test_host_distribution_matches_python(spark):
+    import math
+
+    from tric_spark.operators.textstats import host_distribution
+
+    hosts = ["a"] * 6 + ["b"] * 3 + ["c"] * 1 + [None] * 2
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, source string"
+    )
+    r = host_distribution(df).collect()[0]
+    counts = {"a": 6, "b": 3, "c": 1, "": 2}
+    n = 12
+    ps = [c / n for c in counts.values()]
+    assert r.n_hosts == 4 and r.n_docs == n
+    assert r.entropy == round(-sum(p * math.log(p) for p in ps), 6)
+    assert r.hhi == round(sum(p * p for p in ps), 6)
+    assert r.top1_share == 0.5
+
+
+def test_host_distribution_uniform_vs_concentrated(spark):
+    from tric_spark.operators.textstats import host_distribution
+
+    uni = spark.createDataFrame(
+        [(i, f"h{i % 10}") for i in range(100)], "doc_id long, source string"
+    )
+    conc = spark.createDataFrame(
+        [(i, "mega" if i < 91 else f"h{i}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    u = host_distribution(uni).collect()[0]
+    c = host_distribution(conc).collect()[0]
+    assert u.entropy > c.entropy and u.hhi < c.hhi
+    assert c.top1_share == 0.91

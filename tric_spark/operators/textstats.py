@@ -204,3 +204,31 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def host_distribution(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """One row (n_hosts, n_docs, entropy, hhi, top1_share) — concentration
+    diagnostics of the corpus's host/domain mix, the balance check a
+    data-curation pipeline runs before training (domain over-concentration
+    is a known failure mode; Gopher §A.2 and The Pile both report the
+    mix): Shannon entropy −Σ p·ln p, the Herfindahl–Hirschman index Σ p²,
+    and the largest single host's share. All from ONE host groupBy and one
+    re-aggregate — no global sort anywhere (a Gini would need one; HHI
+    and entropy are the sort-free concentration measures, which is why
+    they're the 100-TB choice). 6dp-rounded. NULL hosts count as a
+    stratum of their own via coalesce('')."""
+    counts = docs.groupBy(
+        F.coalesce(F.col(host_col), F.lit("")).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    tot = counts.agg(F.sum("_c").alias("_n"))
+    p = F.col("_c") / F.col("_n")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.first("_n").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+            F.round(F.max(p), 6).alias("top1_share"),
+        )
+    )
