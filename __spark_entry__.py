@@ -786,6 +786,15 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_clustering_by_degree(spark, sf_dir):
+    """c(k) curve — mean local clustering per degree class (the
+    hierarchical-modularity signature, Ravasz–Barabási 2003); averages the
+    6dp-rounded per-vertex lcc so both engines fold identical inputs."""
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return tc.clustering_by_degree(oriented, deg)
+
+
 def q_host_distribution(spark, sf_dir):
     """Corpus domain-mix concentration (entropy / HHI / top-1 share over
     the source column) — the sort-free balance diagnostics a data-mix
@@ -1149,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "clustering_by_degree": q_clustering_by_degree,
         "host_distribution": q_host_distribution,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2146,6 +2156,26 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        "clustering_by_degree": f"""
+            WITH {E}, {_TRI},
+            pv AS (
+              SELECT vid, count(*) AS tc FROM (
+                SELECT i AS vid FROM tri
+                UNION ALL SELECT j FROM tri
+                UNION ALL SELECT k FROM tri
+              ) GROUP BY vid
+            ),
+            lcc AS (
+              SELECT d.degree,
+                     round(coalesce(pv.tc, 0)
+                           / (d.degree*(d.degree-1)/2.0), 6) AS lcc
+              FROM deg d LEFT JOIN pv ON pv.vid = d.vid
+              WHERE d.degree >= 2
+            )
+            SELECT degree, count(*) AS n_vertices,
+                   round(avg(lcc), 6) AS avg_lcc
+            FROM lcc GROUP BY degree
         """,
         "host_distribution": """
             WITH hc AS (SELECT coalesce(source, '') AS h, count(*) AS c

@@ -104,3 +104,28 @@ def test_auto_strategy_rule_and_dispatch(spark):
 
     with _pytest.raises(ValueError):
         tc.triangle_count(odeg, strategy="nope")
+
+
+def test_clustering_by_degree_matches_python(spark):
+    """c(k) curve equals the python groupBy of the (already-verified)
+    per-vertex lcc values."""
+    from collections import defaultdict
+
+    from tric_spark.operators.tc import clustering_by_degree, local_clustering
+
+    pairs = er_graph(n=50, p_inv=4, seed=53)
+    canon = edges_df(spark, [(min(u, v), max(u, v)) for u, v in pairs]).distinct()
+    deg = graph.degrees(graph.symmetrize(canon))
+    oriented = graph.orient_by_degree(canon, deg)
+    lcc = {(r.vid): (r.degree, r.lcc) for r in local_clustering(oriented, deg).collect()}
+    by_deg = defaultdict(list)
+    for d, c in lcc.values():
+        by_deg[d].append(c)
+    expect = {
+        d: (len(cs), round(sum(cs) / len(cs), 6)) for d, cs in by_deg.items()
+    }
+    got = {
+        r.degree: (r.n_vertices, r.avg_lcc)
+        for r in clustering_by_degree(oriented, deg).collect()
+    }
+    assert got == expect and got

@@ -658,3 +658,18 @@ def triangle_count_adj2_salted(
         .collect()[0]
     )
     return int(row["tc"] or 0)
+
+
+def clustering_by_degree(oriented: DataFrame, deg: DataFrame) -> DataFrame:
+    """(degree, n_vertices, avg_lcc) — the c(k) curve: mean local
+    clustering coefficient per degree class (Ravasz & Barabási, PRE 67,
+    2003 — a power-law c(k) is the hierarchical-modularity signature every
+    web-graph measurement reports next to the degree distribution).
+    Composes :func:`local_clustering` (one per-vertex TC pass) with one
+    map-side-combined groupBy(degree); avg over the 6dp-rounded per-vertex
+    lcc (so both engines average identical inputs), re-rounded 6dp."""
+    lcc = local_clustering(oriented, deg)
+    return lcc.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(F.avg("lcc"), 6).alias("avg_lcc"),
+    )
