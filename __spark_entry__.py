@@ -786,6 +786,17 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-sketch top-10 corpus tokens with the exact counts
+    alongside (est ≥ exact always; equal when buckets are collision-light
+    at width 1024). The md5 bucket rule replays verbatim in DuckDB."""
+    from tric_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), k=10, width=1024, depth=4
+    )
+
+
 def q_clustering_by_degree(spark, sf_dir):
     """c(k) curve — mean local clustering per degree class (the
     hierarchical-modularity signature, Ravasz–Barabási 2003); averages the
@@ -1158,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "clustering_by_degree": q_clustering_by_degree,
         "host_distribution": q_host_distribution,
         "tpch_q1": q_tpch_q1,
@@ -2156,6 +2168,30 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        # CMS replay: same md5 bucket rule ("cms:{seed}:{d}:{token}"),
+        # min over depth rows, exact counts joined alongside
+        "cms_heavy_hitters": """
+            WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS token FROM documents),
+            bk AS (SELECT token, d,
+                          ('0x' || substr(md5('cms:42:' || d::VARCHAR
+                                              || ':' || token), 1, 12))::BIGINT
+                            % 1024 AS bucket
+                   FROM toks, unnest([0, 1, 2, 3]) AS u(d)),
+            sk AS (SELECT d, bucket, count(*) AS cnt FROM bk
+                   GROUP BY d, bucket),
+            probes AS (SELECT DISTINCT token, d, bucket FROM bk),
+            est AS (SELECT p.token, min(coalesce(s.cnt, 0)) AS est
+                    FROM probes p LEFT JOIN sk s USING (d, bucket)
+                    GROUP BY p.token),
+            ex AS (SELECT token, count(*) AS exact FROM toks GROUP BY token)
+            SELECT token, est, exact, rank FROM (
+              SELECT e.token, e.est, x.exact,
+                     row_number() OVER (ORDER BY e.est DESC, e.token ASC)
+                       AS rank
+              FROM est e JOIN ex x USING (token)
+            ) WHERE rank <= 10
         """,
         "clustering_by_degree": f"""
             WITH {E}, {_TRI},
