@@ -786,6 +786,18 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_hll_distinct_tokens(spark, sf_dir):
+    """Standalone HLL distinct-count of corpus tokens (the oracle-
+    replayable approx_count_distinct) — one 16-max aggregation pass."""
+    from tric_spark.operators.anf import hll_count_distinct
+    from tric_spark.operators.textstats import tokens_col
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("x")
+    )
+    return hll_count_distinct(toks, "x")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min-sketch top-10 corpus tokens with the exact counts
     alongside (est ≥ exact always; equal when buckets are collision-light
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "clustering_by_degree": q_clustering_by_degree,
         "host_distribution": q_host_distribution,
@@ -2168,6 +2181,19 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        # standalone HLL over tokens: same register rule as _anf_sql
+        "hll_distinct_tokens": """
+            WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                 y -> y <> '')) AS x FROM documents),
+            rr AS (SELECT CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 0 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r0, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 1 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r1, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 2 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r2, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 3 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r3, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 4 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r4, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 5 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r5, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 6 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r6, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 7 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r7, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 8 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r8, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 9 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r9, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 10 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r10, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 11 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r11, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 12 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r12, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 13 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r13, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 14 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r14, CASE WHEN ('0x' || substr(md5('hll:' || x), 1, 1))::BIGINT = 15 THEN CASE WHEN ('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT = 0 THEN 49 ELSE 49 - length(bin(('0x' || substr(md5('hll:' || x), 2, 12))::BIGINT)) END ELSE 0 END AS r15 FROM toks),
+            agg AS (SELECT max(r0) AS r0, max(r1) AS r1, max(r2) AS r2, max(r3) AS r3, max(r4) AS r4, max(r5) AS r5, max(r6) AS r6, max(r7) AS r7, max(r8) AS r8, max(r9) AS r9, max(r10) AS r10, max(r11) AS r11, max(r12) AS r12, max(r13) AS r13, max(r14) AS r14, max(r15) AS r15, count(*) AS n FROM rr),
+            est AS (SELECT CASE WHEN (0.673 * 256) / (power(2.0, -r0) + power(2.0, -r1) + power(2.0, -r2) + power(2.0, -r3) + power(2.0, -r4) + power(2.0, -r5) + power(2.0, -r6) + power(2.0, -r7) + power(2.0, -r8) + power(2.0, -r9) + power(2.0, -r10) + power(2.0, -r11) + power(2.0, -r12) + power(2.0, -r13) + power(2.0, -r14) + power(2.0, -r15)) <= 40
+                                 AND (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END + CASE WHEN r3 = 0 THEN 1 ELSE 0 END + CASE WHEN r4 = 0 THEN 1 ELSE 0 END + CASE WHEN r5 = 0 THEN 1 ELSE 0 END + CASE WHEN r6 = 0 THEN 1 ELSE 0 END + CASE WHEN r7 = 0 THEN 1 ELSE 0 END + CASE WHEN r8 = 0 THEN 1 ELSE 0 END + CASE WHEN r9 = 0 THEN 1 ELSE 0 END + CASE WHEN r10 = 0 THEN 1 ELSE 0 END + CASE WHEN r11 = 0 THEN 1 ELSE 0 END + CASE WHEN r12 = 0 THEN 1 ELSE 0 END + CASE WHEN r13 = 0 THEN 1 ELSE 0 END + CASE WHEN r14 = 0 THEN 1 ELSE 0 END + CASE WHEN r15 = 0 THEN 1 ELSE 0 END) > 0
+                            THEN 16.0 * ln(16.0 / (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END + CASE WHEN r3 = 0 THEN 1 ELSE 0 END + CASE WHEN r4 = 0 THEN 1 ELSE 0 END + CASE WHEN r5 = 0 THEN 1 ELSE 0 END + CASE WHEN r6 = 0 THEN 1 ELSE 0 END + CASE WHEN r7 = 0 THEN 1 ELSE 0 END + CASE WHEN r8 = 0 THEN 1 ELSE 0 END + CASE WHEN r9 = 0 THEN 1 ELSE 0 END + CASE WHEN r10 = 0 THEN 1 ELSE 0 END + CASE WHEN r11 = 0 THEN 1 ELSE 0 END + CASE WHEN r12 = 0 THEN 1 ELSE 0 END + CASE WHEN r13 = 0 THEN 1 ELSE 0 END + CASE WHEN r14 = 0 THEN 1 ELSE 0 END + CASE WHEN r15 = 0 THEN 1 ELSE 0 END))
+                            ELSE (0.673 * 256) / (power(2.0, -r0) + power(2.0, -r1) + power(2.0, -r2) + power(2.0, -r3) + power(2.0, -r4) + power(2.0, -r5) + power(2.0, -r6) + power(2.0, -r7) + power(2.0, -r8) + power(2.0, -r9) + power(2.0, -r10) + power(2.0, -r11) + power(2.0, -r12) + power(2.0, -r13) + power(2.0, -r14) + power(2.0, -r15)) END AS e,
+                           n FROM agg)
+            SELECT round(e, 6) AS est, n::BIGINT AS n_rows FROM est
         """,
         # CMS replay: same md5 bucket rule ("cms:{seed}:{d}:{token}"),
         # min over depth rows, exact counts joined alongside

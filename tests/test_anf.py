@@ -176,3 +176,42 @@ def test_effective_diameter_on_hyperanf_curve(spark):
         expect = round(h - 1 + (target - prev) / (nf - prev), 6)
     r = effective_diameter_from_curve(curve).collect()[0]
     assert r.d_eff == expect and r.h_ceil == h
+
+
+# --- standalone HLL distinct count ---------------------------------------------
+
+def test_hll_count_distinct_python_replay_and_envelope(spark):
+    import hashlib
+
+    from tric_spark.operators.anf import ALPHA_16, M, hll_count_distinct
+
+    vals = [i % 700 for i in range(5000)]  # 700 distinct, heavy repeats
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = hll_count_distinct(df, "x").collect()[0]
+    # replay: same md5 register rule
+    regs = [0] * M
+    for v in set(str(v) for v in vals):
+        h = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+        j = int(h[0], 16)
+        field = int(h[1:13], 16)
+        rho = 49 if field == 0 else 49 - len(bin(field)[2:])
+        regs[j] = max(regs[j], rho)
+    z = sum(2.0 ** -x for x in regs)
+    vz = sum(1 for x in regs if x == 0)
+    raw = ALPHA_16 * M * M / z
+    import math
+
+    expect = M * math.log(M / vz) if (raw <= 2.5 * M and vz > 0) else raw
+    assert r.est == round(expect, 6)
+    assert r.n_rows == 5000
+    assert 0.5 * 700 < r.est < 1.6 * 700  # m=16 error envelope
+
+
+def test_hll_duplicates_dont_move_estimate(spark):
+    from tric_spark.operators.anf import hll_count_distinct
+
+    a = spark.createDataFrame([(i,) for i in range(300)], "x long")
+    b = spark.createDataFrame([(i % 300,) for i in range(9000)], "x long")
+    ea = hll_count_distinct(a, "x").collect()[0].est
+    eb = hll_count_distinct(b, "x").collect()[0].est
+    assert ea == eb
