@@ -786,6 +786,19 @@ def q_anf_curve(spark, sf_dir):
     return hyper_anf(sym, verts, max_h=6)
 
 
+def q_related_hosts(spark, sf_dir):
+    """Related SITES: co-citation over the host-graph rollup (hosts cited
+    together by ≥ 2 common source hosts) — the site-level companion to
+    related_pages, one wedge plan over the collapsed graph."""
+    from tric_spark.operators.cocitation import cocitation_pairs
+
+    he, hosts = _host_graph(spark, sf_dir)
+    directed = he.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return cocitation_pairs(directed, min_common=2)
+
+
 def q_hll_distinct_tokens(spark, sf_dir):
     """Standalone HLL distinct-count of corpus tokens (the oracle-
     replayable approx_count_distinct) — one 16-max aggregation pass."""
@@ -1181,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
+        "related_hosts": q_related_hosts,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "clustering_by_degree": q_clustering_by_degree,
@@ -2181,6 +2195,15 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE nbr <> vid
             )
             SELECT vid, count(*) AS n_reach FROM u GROUP BY vid
+        """,
+        # site-level co-citation: one wedge over the host rollup
+        "related_hosts": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH},
+            t0 AS (SELECT 1)
+            SELECT l.dst AS a, r.dst AS b, count(*) AS common
+            FROM he l JOIN he r ON l.src = r.src AND l.dst < r.dst
+            GROUP BY l.dst, r.dst
+            HAVING count(*) >= 2
         """,
         # standalone HLL over tokens: same register rule as _anf_sql
         "hll_distinct_tokens": """
