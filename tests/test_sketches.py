@@ -69,3 +69,35 @@ def test_heavy_hitters_ranks_frequent_first(spark):
     assert got[0] == (1, "the", 4, 4)
     assert got[1] == (2, "cat", 2, 2)
     assert all(r.est >= r.exact for r in rows)
+
+
+def test_cms_build_streams_complete_mode(spark, tmp_path):
+    """The sketch build is a plain groupBy count, so it runs UNCHANGED as
+    a streaming aggregation (complete output): the drained stream's sketch
+    must equal the batch sketch bucket-for-bucket. This is the sketch's
+    point — depth·width bounded state on an unbounded stream."""
+    words = (["the"] * 25 + ["cat"] * 9 + [f"u{i}" for i in range(30)]) * 3
+    batch = _tokens(spark, words)
+    src = str(tmp_path / "cms_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        cms_build(stream, width=32, depth=3)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    q.stop()
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(batch, width=32, depth=3).collect()
+    }
+    assert got == want and got
