@@ -1110,11 +1110,28 @@ def q_bowtie_regions(spark, sf_dir):
     return bowtie(doc_edges_directed(spark, sf_dir), verts)
 
 
+def q_fourcycle_count(spark, sf_dir):
+    from tric_spark.operators import motifs
+
+    _, sym, _, _ = _graph_tables(spark, sf_dir)
+    return _scalar(motifs.fourcycle_count(sym), spark, "c4")
+
+
+def q_fourclique_count(spark, sf_dir):
+    from tric_spark.operators import motifs
+
+    canon, _, _, deg = _graph_tables(spark, sf_dir)
+    oriented = graph.orient_by_degree(canon, deg)
+    return _scalar(motifs.fourclique_count(oriented, deg=deg), spark, "k4")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
         "degree_histogram": q_degree_histogram,
         "wedge_count": q_wedge_count,
+        "fourcycle_count": q_fourcycle_count,
+        "fourclique_count": q_fourclique_count,
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
@@ -2046,6 +2063,26 @@ def oracle_sql() -> dict[str, str]:
         "wedge_count": f"""
             WITH {E}
             SELECT CAST(sum(degree*(degree-1))/2 AS BIGINT) AS wedges FROM deg
+        """,
+        "fourcycle_count": f"""
+            WITH {E},
+            w AS (
+              SELECT s1.dst AS u, s2.dst AS v, count(*) AS c
+              FROM sym s1 JOIN sym s2
+                ON s1.src = s2.src AND s1.dst < s2.dst
+              GROUP BY u, v
+            )
+            SELECT CAST(coalesce(sum(c*(c-1)/2)/2, 0) AS BIGINT) AS c4 FROM w
+        """,
+        "fourclique_count": f"""
+            WITH {E}
+            SELECT count(*) AS k4
+            FROM und e1
+            JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            JOIN und e4 ON e4.src = e2.dst
+            JOIN und e5 ON e5.src = e1.dst AND e5.dst = e4.dst
+            JOIN und e6 ON e6.src = e1.src AND e6.dst = e4.dst
         """,
         "triangle_count_join": tc_sql,
         "triangle_count_join_pruned": tc_sql,
