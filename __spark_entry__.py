@@ -1125,6 +1125,20 @@ def q_fourclique_count(spark, sf_dir):
     return _scalar(motifs.fourclique_count(oriented, deg=deg), spark, "k4")
 
 
+def q_dsir_weights(spark, sf_dir):
+    from tric_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir.dsir_logweights(docs, F.col("lang") == "en")
+
+
+def q_dsir_topk(spark, sf_dir):
+    from tric_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir.dsir_select_topk(docs, F.col("lang") == "en", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
@@ -1132,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": q_wedge_count,
         "fourcycle_count": q_fourcycle_count,
         "fourclique_count": q_fourclique_count,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
@@ -1248,6 +1264,40 @@ _TRI = """
 """
 
 _TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
+
+# DSIR hashed-unigram log-weights (operators/dsir.py) — target slice is
+# lang='en'; ranks/rounding replay the Spark side exactly
+_DSIR_W = """
+  dtoks AS (
+    SELECT doc_id, lang = 'en' AS is_target,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS token
+    FROM documents WHERE text IS NOT NULL
+  ),
+  dbk AS (
+    SELECT doc_id, is_target,
+           ('0x' || substr(md5('dsir:17:' || token), 1, 12))::BIGINT
+             % 1024 AS bucket
+    FROM dtoks
+  ),
+  dcounts AS (
+    SELECT bucket, count(*) AS rc,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tcn
+    FROM dbk GROUP BY bucket
+  ),
+  dtot AS (SELECT sum(rc) AS rn, sum(tcn) AS tn FROM dcounts),
+  dratio AS (
+    SELECT bucket,
+           ln((tcn + 1) / (tn + 1024.0)) - ln((rc + 1) / (rn + 1024.0))
+             AS lr
+    FROM dcounts, dtot
+  ),
+  dw AS (
+    SELECT doc_id, count(*)::BIGINT AS n_toks,
+           round(sum(lr) / count(*), 6) AS logw
+    FROM dbk JOIN dratio USING (bucket) GROUP BY doc_id
+  )
+"""
 
 # distinct token 3-shingles — mirrors tric_spark.operators.dedup.shingles_col
 _GRAMS = """
@@ -2083,6 +2133,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN und e4 ON e4.src = e2.dst
             JOIN und e5 ON e5.src = e1.dst AND e5.dst = e4.dst
             JOIN und e6 ON e6.src = e1.src AND e6.dst = e4.dst
+        """,
+        # DSIR replay: same md5 bucket rule ("dsir:{seed}:{token}") as the
+        # Spark side; ln() (DuckDB log() is base-10 — engine lore)
+        "dsir_weights": f"WITH {_DSIR_W} SELECT doc_id, n_toks, logw FROM dw",
+        "dsir_topk": f"""
+            WITH {_DSIR_W}
+            SELECT doc_id, n_toks, logw, rank FROM (
+              SELECT doc_id, n_toks, logw,
+                     row_number() OVER (ORDER BY logw DESC, doc_id ASC)
+                       AS rank
+              FROM dw
+            ) WHERE rank <= 50
         """,
         "triangle_count_join": tc_sql,
         "triangle_count_join_pruned": tc_sql,
