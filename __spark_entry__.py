@@ -1139,6 +1139,35 @@ def q_dsir_topk(spark, sf_dir):
     return dsir.dsir_select_topk(docs, F.col("lang") == "en", k=50)
 
 
+def q_bloom_screen(spark, sf_dir):
+    # screen non-en bigrams against a Bloom filter of the en bigram set —
+    # the bounded-memory "seen before?" gate a crawl/contamination pass
+    # runs before shipping the reference corpus anywhere. `hit` is the
+    # sketch answer, `present` the exact one (false positives visible,
+    # false negatives impossible).
+    from tric_spark.operators.lm_score import _doc_bigrams
+    from tric_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+    def bigrams(d):
+        return _doc_bigrams(d).select(
+            F.concat_ws(" ", "v", "w").alias("token")
+        ).distinct()
+
+    en = bigrams(docs.filter(F.col("lang") == "en"))
+    other = bigrams(docs.filter(F.col("lang") != "en"))
+    bloom = bloom_build(en, n_bits=8192, k=4, seed=7)
+    hits = bloom_probe(other, bloom, n_bits=8192, k=4, seed=7)
+    return hits.join(
+        en.withColumn("present", F.lit(True)), "token", "left"
+    ).select(
+        "token", "hit", F.coalesce("present", F.lit(False)).alias("present")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
@@ -1148,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fourclique_count": q_fourclique_count,
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
+        "bloom_screen": q_bloom_screen,
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
@@ -2133,6 +2163,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN und e4 ON e4.src = e2.dst
             JOIN und e5 ON e5.src = e1.dst AND e5.dst = e4.dst
             JOIN und e6 ON e6.src = e1.src AND e6.dst = e4.dst
+        """,
+        # Bloom replay: bit i = md5("bloom:7:{i}:{bigram}") first 12 hex
+        # mod 8192 — verbatim the Spark rule (sketches._bloom_bits)
+        "bloom_screen": """
+            WITH t AS (
+              SELECT lang,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            bgr AS (
+              SELECT lang, toks[i] || ' ' || toks[i+1] AS token
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            ),
+            enb AS (SELECT DISTINCT token FROM bgr WHERE lang = 'en'),
+            bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bloom:7:' || i::VARCHAR || ':'
+                                         || token), 1, 12))::BIGINT
+                       % 8192 AS bit
+              FROM enb, unnest([0, 1, 2, 3]) AS h(i)
+            ),
+            probes AS (SELECT DISTINCT token FROM bgr WHERE lang <> 'en'),
+            pb AS (
+              SELECT token,
+                     ('0x' || substr(md5('bloom:7:' || i::VARCHAR || ':'
+                                         || token), 1, 12))::BIGINT
+                       % 8192 AS bit
+              FROM probes, unnest([0, 1, 2, 3]) AS h(i)
+            ),
+            hits AS (
+              SELECT token,
+                     count(*) = sum(CASE WHEN b.bit IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS hit
+              FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+              GROUP BY token
+            )
+            SELECT h.token, h.hit,
+                   (h.token IN (SELECT token FROM enb)) AS present
+            FROM hits h
         """,
         # DSIR replay: same md5 bucket rule ("dsir:{seed}:{token}") as the
         # Spark side; ln() (DuckDB log() is base-10 — engine lore)

@@ -129,3 +129,102 @@ def cms_heavy_hitters(
     return survivors.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — bounded-memory set membership
+# ---------------------------------------------------------------------------
+#
+# Bloom (CACM 13(7), 1970): n_bits bits, k hash functions; insert sets k
+# bits, a probe answers "definitely not present" or "present with false-
+# positive rate ~(1 - e^{-kn/m})^k". The reference uses Bloom filters as
+# its edge-probe pre-filter (hbufastric.hpp:65-148, there via two Murmur
+# hashes); here the sketch is ALSO a first-class user-facing operator —
+# the way a crawl pipeline screens "have I seen this URL/token/shingle"
+# against a reference corpus without shipping the corpus.
+#
+# Same determinism rule as the CMS above: bit i of a token is
+# md5("bloom:{seed}:{i}:{token}") first 12 hex digits mod n_bits — pure,
+# parallelism-independent, replayable verbatim in DuckDB. The built
+# filter is at most n_bits rows (the set bits), so probing is a broadcast
+# join no matter how large the reference corpus was.
+
+
+def _bloom_bits(token: Column, k: int, n_bits: int, seed: int) -> Column:
+    """array<long> of the k bit positions for one token."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("bloom"),
+                                F.lit(str(seed)),
+                                F.lit(str(i)),
+                                token,
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    tokens: DataFrame,
+    n_bits: int = 8192,
+    k: int = 4,
+    seed: int = 7,
+    token_col: str = "token",
+) -> DataFrame:
+    """(bit,) — the DISTINCT set bit positions; ≤ n_bits rows total.
+
+    One explode (k rows per distinct token) + one distinct — map-side
+    combined, output bounded by the filter size, never the corpus."""
+    return (
+        tokens.select(
+            F.explode(
+                _bloom_bits(F.col(token_col), k, n_bits, seed)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    n_bits: int = 8192,
+    k: int = 4,
+    seed: int = 7,
+    token_col: str = "token",
+) -> DataFrame:
+    """(token, hit) for each DISTINCT candidate: hit=true iff all k bits
+    are set (no false negatives ever; false positives at the configured
+    rate). The filter side is ≤ n_bits rows → broadcast join; the
+    candidate side streams."""
+    probes = (
+        candidates.select(F.col(token_col).alias("token"))
+        .distinct()
+        .select(
+            "token",
+            F.explode(
+                _bloom_bits(F.col("token"), k, n_bits, seed)
+            ).alias("bit"),
+        )
+    )
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy("token").agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0)))).alias("hit")
+    )
