@@ -1168,6 +1168,58 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+def q_eigencentrality_iter3(spark, sf_dir):
+    from tric_spark.operators.eigencentrality import eigenvector_centrality
+
+    _, sym, verts, _ = _graph_tables(spark, sf_dir)
+    out = eigenvector_centrality(sym, verts, tol=0, max_iter=3)
+    return out.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_jaccard_linkpred(spark, sf_dir):
+    # CAP ASSUMPTION: guard opt-out mirrors q_adamic_adar (the oracle is
+    # unguarded; sf0.01/sf0.1 pivots sit far below DEFAULT_MAX_FANOUT)
+    from tric_spark.operators.linkpred import jaccard_scores
+
+    _, sym, _, _ = _graph_tables(spark, sf_dir)
+    return jaccard_scores(sym, min_common=2, max_fanout=None)
+
+
+def q_rich_club(spark, sf_dir):
+    from tric_spark.operators.digraph_stats import rich_club
+
+    canon, _, _, deg = _graph_tables(spark, sf_dir)
+    return rich_club(canon, deg)
+
+
+def q_maximal_matching(spark, sf_dir):
+    from tric_spark.operators.matching import maximal_matching
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return maximal_matching(canon, seed=42)
+
+
+def q_zipf_alpha(spark, sf_dir):
+    # the CSN power-law MLE applied to token FREQUENCIES — the corpus-side
+    # twin of powerlaw_alpha on degrees (Zipf's law is the text analog)
+    from tric_spark.operators.digraph_stats import powerlaw_alpha
+    from tric_spark.operators.textstats import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freqs = (
+        docs.select(
+            F.explode(
+                F.filter(tokens_col(), lambda t: t != F.lit(""))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return powerlaw_alpha(freqs, d_min=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
@@ -1178,6 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
         "bloom_screen": q_bloom_screen,
+        "eigencentrality_iter3": q_eigencentrality_iter3,
+        "jaccard_linkpred": q_jaccard_linkpred,
+        "zipf_alpha": q_zipf_alpha,
+        "maximal_matching": q_maximal_matching,
+        "rich_club": q_rich_club,
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
@@ -1380,6 +1437,37 @@ def _hyperplane_sig_sql(vexpr: str, n_planes: int = 8, seed: int = 42) -> str:
         THEN '1' ELSE '0' END"""
 
     return "concat(" + ", ".join(bit(p) for p in range(n_planes)) + ")"
+
+
+def _matching_sql(rounds: int) -> str:
+    """Parallel-greedy maximal matching unroll — mirrors
+    operators/matching.py (fixed md5 edge priorities, so the fixpoint is
+    the sequential greedy matching; extra rounds past convergence add
+    empty winner sets and change nothing)."""
+    ctes = [
+        "m0 AS MATERIALIZED (SELECT src, dst, "
+        "md5('mm:42:' || src::VARCHAR || ':' || dst::VARCHAR) AS p FROM und)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT vid, min(p) AS mp FROM "
+            f"(SELECT src AS vid, p FROM m{r - 1} "
+            f"UNION ALL SELECT dst AS vid, p FROM m{r - 1}) GROUP BY vid)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT e.src, e.dst FROM m{r - 1} e "
+            f"JOIN v{r} a ON a.vid = e.src AND a.mp = e.p "
+            f"JOIN v{r} b ON b.vid = e.dst AND b.mp = e.p)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT e.src, e.dst, e.p FROM m{r - 1} e "
+            f"WHERE e.src NOT IN (SELECT src FROM w{r} UNION ALL SELECT dst FROM w{r}) "
+            f"AND e.dst NOT IN (SELECT src FROM w{r} UNION ALL SELECT dst FROM w{r}))"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return f"WITH {E}, {', '.join(ctes)} SELECT src, dst FROM ({unions})"
 
 
 def _oracle_rounds(base: int) -> int:
@@ -2672,6 +2760,44 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_tail, 2::BIGINT AS d_min
             FROM a
         """,
+        "maximal_matching": _matching_sql(_oracle_rounds(10)),
+        "rich_club": f"""
+            WITH {E},
+            ks AS (SELECT DISTINCT degree AS k FROM deg),
+            em AS (
+              SELECT least(da.degree, db.degree) AS min_deg
+              FROM und e
+              JOIN deg da ON da.vid = e.src
+              JOIN deg db ON db.vid = e.dst
+            ),
+            er AS (SELECT k, count(*) AS e_rich FROM em
+                   JOIN ks ON min_deg > k GROUP BY k),
+            nr AS (SELECT k, count(*) AS n_rich FROM deg
+                   JOIN ks ON degree > k GROUP BY k)
+            SELECT n.k, n.n_rich,
+                   coalesce(e.e_rich, 0)::BIGINT AS e_rich,
+                   CASE WHEN n.n_rich >= 2
+                        THEN round(2.0 * coalesce(e.e_rich, 0)
+                                   / (n.n_rich * (n.n_rich - 1)), 6)
+                   END AS phi
+            FROM nr n LEFT JOIN er e USING (k)
+        """,
+        # Zipf: the same CSN estimator over token frequencies
+        "zipf_alpha": """
+            WITH tf AS (
+              SELECT tok, count(*) AS f FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+              ) GROUP BY tok
+            ),
+            tail AS (SELECT f::DOUBLE AS d FROM tf WHERE f >= 2),
+            a AS (SELECT count(*) AS n, sum(ln(d / 1.5)) AS s FROM tail)
+            SELECT round(1.0 + n / s, 6) AS alpha,
+                   round((n / s) / sqrt(n), 6) AS sigma,
+                   n::BIGINT AS n_tail, 2::BIGINT AS d_min
+            FROM a
+        """,
         # Bellman-Ford: synchronous full relaxation, min-folded per
         # round - frontier vs full-table forms converge to the same
         # fixpoint within the shared 16-round bound
@@ -3200,6 +3326,25 @@ def oracle_sql() -> dict[str, str]:
               ON m.vid = v.vid)
             SELECT vid, round(rank, 6) AS rank FROM k3
         """,
+        # Eigenvector centrality: normalized power iteration x ← Ax/‖Ax‖₂
+        # unrolled from x₀ = 1 — mirrors operators/eigencentrality.py; no
+        # zero-fill needed (every sym vertex has ≥1 neighbor, so each s_i
+        # covers the full vertex set)
+        "eigencentrality_iter3": f"""
+            WITH {E},
+            e0 AS MATERIALIZED (SELECT vid, 1.0 AS rank FROM deg),
+            {" ".join(
+                f'''s{i} AS MATERIALIZED (
+                  SELECT s.dst AS vid, sum(r.rank) AS r
+                  FROM sym s JOIN e{i - 1} r ON r.vid = s.src
+                  GROUP BY s.dst),
+                e{i} AS MATERIALIZED (
+                  SELECT vid, r / (SELECT sqrt(sum(r*r)) FROM s{i}) AS rank
+                  FROM s{i}),'''
+                for i in range(1, 4)
+            ).rstrip(",")}
+            SELECT vid, round(rank, 6) AS rank FROM e3
+        """,
         # Adamic–Adar / RA: one wedge through shared neighbor z over sym,
         # degree carried into the wedge; ln() (NOT log() — DuckDB's log is
         # base-10); unguarded (see q_adamic_adar CAP ASSUMPTION)
@@ -3214,6 +3359,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        # Jaccard/cosine/PA: the same wedge as adamic_adar plus true-degree
+        # joins on both endpoints (operators/linkpred.py::jaccard_scores)
+        "jaccard_linkpred": f"""
+            WITH {E},
+            ez AS (SELECT e.dst AS z, e.src AS leaf FROM sym e),
+            cmn AS (
+              SELECT l.leaf AS a, r.leaf AS b, count(*) AS common
+              FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
+              GROUP BY l.leaf, r.leaf
+              HAVING count(*) >= 2
+            )
+            SELECT c.a, c.b, c.common,
+                   round(c.common / (da.degree + db.degree - c.common), 6)
+                     AS jaccard,
+                   round(c.common / sqrt(da.degree * db.degree), 6)
+                     AS cosine,
+                   (da.degree * db.degree)::BIGINT AS pa
+            FROM cmn c
+            JOIN deg da ON da.vid = c.a
+            JOIN deg db ON db.vid = c.b
         """,
         # A-ES weighted sampling: md5 uniform → u^(1/w) rounded to 6dp,
         # ties by doc_id — replays operators/sampling.py::es_key exactly

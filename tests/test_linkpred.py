@@ -105,3 +105,35 @@ def test_predicted_links_topk_ranks_by_aa(spark):
                 cands.append((a, aa))
         expect = sorted(cands, key=lambda t: (-t[1], t[0]))[:3]
         assert [(c, a) for _, c, a in sorted(lst)] == expect
+
+
+def test_jaccard_scores_match_brute_force(spark):
+    from tric_spark.operators.linkpred import jaccard_scores
+
+    pairs = er_graph(n=40, p_inv=6, seed=9)
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        (r.a, r.b): (r.common, r.jaccard, r.cosine, r.pa)
+        for r in jaccard_scores(_sym(spark, pairs), min_common=1).collect()
+    }
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        c = len(adj[a] & adj[b])
+        if c >= 1:
+            da, db = len(adj[a]), len(adj[b])
+            want[(a, b)] = (
+                c,
+                round(c / (da + db - c), 6),
+                round(c / math.sqrt(da * db), 6),
+                da * db,
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][3] == want[k][3]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+        assert abs(got[k][2] - want[k][2]) < 1e-9

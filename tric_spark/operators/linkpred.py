@@ -87,6 +87,45 @@ def link_prediction_scores(
     return scores
 
 
+def jaccard_scores(
+    sym_edges: DataFrame,
+    min_common: int = 1,
+    max_fanout: int | None = DEFAULT_MAX_FANOUT,
+) -> DataFrame:
+    """(a, b, common, jaccard, cosine, pa) with a < b — the normalized
+    overlap indices from the same survey (Liben-Nowell & Kleinberg
+    CIKM'03): Jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|, cosine (Salton) =
+    common / √(deg·deg), preferential attachment pa = deg(a)·deg(b).
+
+    One extra pair of degree joins on top of the shared wedge plan; the
+    denominators use the TRUE degrees (the fan-out guard only bounds
+    which pivots may contribute to ``common`` — hub membership in N(a)
+    still counts toward the union size)."""
+    pairs = link_prediction_scores(sym_edges, min_common, max_fanout).select(
+        "a", "b", "common"
+    )
+    deg = sym_edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("d")
+    )
+    return (
+        pairs.join(deg.withColumnsRenamed({"vid": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"vid": "b", "d": "db"}), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common") / F.sqrt(F.col("da") * F.col("db")), 6
+            ).alias("cosine"),
+            (F.col("da") * F.col("db")).alias("pa"),
+        )
+    )
+
+
 def predicted_links_topk(
     sym_edges: DataFrame,
     k: int = 10,
