@@ -1185,6 +1185,68 @@ def q_jaccard_linkpred(spark, sf_dir):
     return jaccard_scores(sym, min_common=2, max_fanout=None)
 
 
+def q_postings_stats(spark, sf_dir):
+    from tric_spark.operators.textsearch import postings_stats
+
+    return postings_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_phrase_search(spark, sf_dir):
+    from tric_spark.operators.textsearch import phrase_counts
+
+    return phrase_counts(
+        load_table(spark, sf_dir, "documents"), ["table", "scan"]
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    from tric_spark.operators.textsearch import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "query", "fast"],
+        k=20,
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shape forecast-revenue: the pure pushdown exerciser —
+    every predicate must reach the parquet scan (plan-audited in
+    test_plans), one projected column pair, one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue")
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language n_chars quantiles (linear interpolation — Spark
+    percentile() and DuckDB quantile_cont share the R type-7 definition).
+    The relational-checklist percentile exerciser; exact because the
+    oracle demands bit-replayability — the approx_percentile scale path
+    trades that for a bounded sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.percentile(F.col("n_chars"), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.element_at(q, 1), 6).alias("p25"),
+            F.round(F.element_at(q, 2), 6).alias("p50"),
+            F.round(F.element_at(q, 3), 6).alias("p75"),
+            F.round(F.element_at(q, 4), 6).alias("p95"),
+        )
+    )
+
+
 def q_rich_club(spark, sf_dir):
     from tric_spark.operators.digraph_stats import rich_club
 
@@ -1235,6 +1297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha": q_zipf_alpha,
         "maximal_matching": q_maximal_matching,
         "rich_club": q_rich_club,
+        "tpch_q6": q_tpch_q6,
+        "postings_stats": q_postings_stats,
+        "phrase_search": q_phrase_search,
+        "bm25_search": q_bm25_search,
+        "length_quantiles": q_length_quantiles,
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_join_pruned": q_triangle_count_join_pruned,
         "triangle_count_adj": q_triangle_count_adj,
@@ -2760,6 +2827,85 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_tail, 2::BIGINT AS d_min
             FROM a
         """,
+        # IR family (operators/textsearch.py): shared nonempty-token view
+        "postings_stats": """
+            WITH tp AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS tf
+            FROM tp GROUP BY token
+        """,
+        "phrase_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            WHERE toks[i] = 'table' AND toks[i+1] = 'scan'
+            GROUP BY doc_id
+        """,
+        # BM25 with the Lucene +1 idf floor; ln(); rank on the ROUNDED
+        # score with doc_id tiebreak (replayable-cut rule)
+        "bm25_search": """
+            WITH tp AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tp GROUP BY doc_id),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (SELECT * FROM tp
+                   WHERE token IN ('spark', 'query', 'fast')),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM qt
+                   GROUP BY doc_id, token),
+            dfr AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt
+                    GROUP BY token),
+            sc AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))
+                     ), 6) AS score
+              FROM tf t
+              JOIN dfr d USING (token)
+              JOIN dl l USING (doc_id)
+              CROSS JOIN st
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, score, rank FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+              FROM sc
+            ) WHERE rank <= 20
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        # exact linear-interpolation quantiles: Spark percentile() and
+        # DuckDB quantile_cont are both R type-7
+        "length_quantiles": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 6) AS p95
+            FROM documents GROUP BY lang
+        """,
         "maximal_matching": _matching_sql(_oracle_rounds(10)),
         "rich_club": f"""
             WITH {E},
@@ -2774,13 +2920,14 @@ def oracle_sql() -> dict[str, str]:
                    JOIN ks ON min_deg > k GROUP BY k),
             nr AS (SELECT k, count(*) AS n_rich FROM deg
                    JOIN ks ON degree > k GROUP BY k)
-            SELECT n.k, n.n_rich,
+            SELECT ks.k,
+                   coalesce(n.n_rich, 0)::BIGINT AS n_rich,
                    coalesce(e.e_rich, 0)::BIGINT AS e_rich,
-                   CASE WHEN n.n_rich >= 2
+                   CASE WHEN coalesce(n.n_rich, 0) >= 2
                         THEN round(2.0 * coalesce(e.e_rich, 0)
                                    / (n.n_rich * (n.n_rich - 1)), 6)
                    END AS phi
-            FROM nr n LEFT JOIN er e USING (k)
+            FROM ks LEFT JOIN nr n USING (k) LEFT JOIN er e USING (k)
         """,
         # Zipf: the same CSN estimator over token frequencies
         "zipf_alpha": """

@@ -95,3 +95,31 @@ def test_powerlaw_alpha_recovers_planted_exponent(spark):
     # tail where the bias shrinks and allow the residual
     r = powerlaw_alpha(df, d_min=5).collect()[0]
     assert 2.25 < r.alpha < 2.6
+
+
+def test_rich_club_matches_brute_force(spark):
+    from tric_spark.operators.digraph_stats import rich_club
+
+    pairs = er_graph(n=30, p_inv=4, seed=13)
+    canon = graph.canonical_edges(edges_df(spark, pairs))
+    sym = graph.symmetrize(canon)
+    deg = graph.degrees(sym)
+    got = {
+        r.k: (r.n_rich, r.e_rich, r.phi)
+        for r in rich_club(canon, deg).collect()
+    }
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    degs = {v: len(ns) for v, ns in adj.items()}
+    for k in set(degs.values()):
+        rich = {v for v, dv in degs.items() if dv > k}
+        e = sum(1 for u, v in pairs if u in rich and v in rich)
+        phi = (
+            round(2.0 * e / (len(rich) * (len(rich) - 1)), 6)
+            if len(rich) >= 2
+            else None
+        )
+        assert got[k] == (len(rich), e, phi)

@@ -90,3 +90,60 @@ def powerlaw_alpha(degrees: DataFrame, d_min: int = 2) -> DataFrame:
         F.col("n_tail").cast("long").alias("n_tail"),
         F.lit(d_min).cast("long").alias("d_min"),
     )
+
+
+def rich_club(canon_edges: DataFrame, degrees: DataFrame) -> DataFrame:
+    """(k, n_rich, e_rich, phi) — the rich-club curve φ(k) = 2·E_k /
+    (N_k·(N_k−1)) over every threshold k in the degree distribution, where
+    N_k counts vertices of degree > k and E_k the edges between them.
+
+    Zhou & Mondragón (IEEE Comm. Lett. 8(3), 2004): do the hubs of the web
+    graph link to EACH OTHER more than chance — the link-farm / oligarchy
+    diagnostic next to assortativity.
+
+    Scale shape: the threshold set is the DISTINCT degree values — a tiny
+    frame (≤ max-degree rows, Zipf-bounded in practice) that broadcasts.
+    Each edge carries min(deg(src), deg(dst)) after two degree joins; a
+    broadcast theta-join on min_deg > k + one groupBy(k) counts E_k, and
+    the same shape over the degree table counts N_k. No pair enumeration
+    anywhere — the curve costs two scans of the edge list. Rows with
+    N_k < 2 keep phi NULL (the coefficient is undefined there).
+    """
+    d = degrees.select("vid", "degree")
+    ks = degrees.select(F.col("degree").alias("k")).distinct()
+    emin = (
+        canon_edges.join(
+            d.withColumnsRenamed({"vid": "src", "degree": "sdeg"}), "src"
+        )
+        .join(d.withColumnsRenamed({"vid": "dst", "degree": "ddeg"}), "dst")
+        .select(F.least("sdeg", "ddeg").alias("min_deg"))
+    )
+    e_rich = (
+        emin.join(F.broadcast(ks), F.col("min_deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_rich"))
+    )
+    n_rich = (
+        d.join(F.broadcast(ks), F.col("degree") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    # left-join from the full threshold set: the top threshold(s) have an
+    # EMPTY rich club (n_rich = 0, phi undefined) and must still appear
+    return (
+        ks.join(n_rich, "k", "left")
+        .join(e_rich, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+            F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+            F.when(
+                F.col("n_rich") >= 2,
+                F.round(
+                    2.0 * F.coalesce("e_rich", F.lit(0))
+                    / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

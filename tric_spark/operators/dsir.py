@@ -115,3 +115,75 @@ def dsir_select_topk(
 
     win = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(win))
+
+
+def dsir_model(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    seed: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[dict[int, float], float, int, int]:
+    """Train the bucket log-ratio model and return it DRIVER-SIDE:
+    (bucket → lr map, default_lr for never-seen buckets, n_buckets, seed).
+
+    The model is ≤ n_buckets rows NO MATTER the corpus size — collecting
+    it is the hyperplane-matrix precedent (a bounded precompute that then
+    ships as literals), not a driver-side data loop. ``default_lr`` is the
+    exact smoothed value of an empty bucket, ln((rn+B)/(tn+B)), so scoring
+    unseen tokens stays on the same formula."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        target.alias("is_target"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    counts = (
+        base.withColumn("bucket", _bucket(F.col("token"), n_buckets, seed))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
+        )
+        .collect()
+    )
+    rn = sum(r["rc"] for r in counts)
+    tn = sum(r["tc"] for r in counts)
+    import math
+
+    lr = {
+        int(r["bucket"]): math.log((r["tc"] + 1) / (tn + n_buckets))
+        - math.log((r["rc"] + 1) / (rn + n_buckets))
+        for r in counts
+    }
+    default_lr = math.log((rn + n_buckets) / (tn + n_buckets))
+    return lr, default_lr, n_buckets, seed
+
+
+def dsir_score_expr(
+    model: tuple[dict[int, float], float, int, int],
+    text_col: str = "text",
+) -> Column:
+    """The per-row scoring EXPRESSION for a trained model — the streaming
+    twin of :func:`dsir_logweights`: a map literal lookup per token folded
+    by F.aggregate, zero joins, zero shuffles, zero state. Usable verbatim
+    on a batch frame or an append-mode stream (gate at the crawler's
+    mouth). NULL text scores NULL."""
+    lr, default_lr, n_buckets, seed = model
+    pairs: list[Column] = []
+    for b, v in sorted(lr.items()):
+        pairs.append(F.lit(int(b)))
+        pairs.append(F.lit(float(v)))
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    per_tok = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            m[_bucket(t, n_buckets, seed)], F.lit(float(default_lr))
+        ),
+    )
+    total = F.aggregate(
+        per_tok, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.size(toks), 6)
