@@ -1185,6 +1185,26 @@ def q_jaccard_linkpred(spark, sf_dir):
     return jaccard_scores(sym, min_common=2, max_fanout=None)
 
 
+def q_dataset_split(spark, sf_dir):
+    # dyadic fractions (0.875/0.0625/0.0625): the cumulative boundaries
+    # 0.875 and 0.9375 are exact binary doubles, so the Spark-side float
+    # accumulation and the SQL literals are the SAME number (0.9+0.05
+    # would accumulate to 0.9500000000000001 and differ from a 0.95
+    # literal by one ulp)
+    from tric_spark.operators.split import split_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_summary(
+        docs, {"train": 0.875, "val": 0.0625, "test": 0.0625}
+    )
+
+
+def q_event_anomalies(spark, sf_dir):
+    from tric_spark.operators.anomaly import rate_anomalies
+
+    return rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
 def q_postings_stats(spark, sf_dir):
     from tric_spark.operators.textsearch import postings_stats
 
@@ -1299,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "tpch_q6": q_tpch_q6,
         "postings_stats": q_postings_stats,
+        "event_anomalies": q_event_anomalies,
+        "dataset_split": q_dataset_split,
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
         "length_quantiles": q_length_quantiles,
@@ -2826,6 +2848,51 @@ def oracle_sql() -> dict[str, str]:
                    round((n / s) / sqrt(n), 6) AS sigma,
                    n::BIGINT AS n_tail, 2::BIGINT AS d_min
             FROM a
+        """,
+        # deterministic split: md5 uniform vs dyadic cumulative boundaries
+        # (exact binary doubles on both engines)
+        "dataset_split": """
+            WITH s AS (
+              SELECT CASE
+                WHEN ('0x' || substr(md5('split:11:' || doc_id::VARCHAR),
+                                     1, 12))::BIGINT
+                     / 281474976710656.0 < 0.875 THEN 'train'
+                WHEN ('0x' || substr(md5('split:11:' || doc_id::VARCHAR),
+                                     1, 12))::BIGINT
+                     / 281474976710656.0 < 0.9375 THEN 'val'
+                ELSE 'test' END AS split,
+                n_chars
+              FROM documents
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM s GROUP BY split
+        """,
+        # rolling z-scores: trailing-window frame EXCLUDES the current
+        # bucket; mu/sigma rounded BEFORE z (replayed verbatim);
+        # stddev_samp == Spark stddev
+        "event_anomalies": """
+            WITH hc AS (
+              SELECT date_trunc('hour', ts) AS ts_hour, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT ts_hour, event_type, n,
+                     count(*) OVER w AS hist,
+                     round(avg(n) OVER w, 6) AS mu,
+                     round(stddev_samp(n) OVER w, 6) AS sigma
+              FROM hc
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts_hour
+                           ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT ts_hour, event_type, n, mu, sigma, z,
+                   (abs(z) >= 3.0) AS is_anomaly
+            FROM (
+              SELECT *, CASE WHEN hist >= 4 AND sigma > 0
+                             THEN round((n - mu) / sigma, 6) END AS z
+              FROM st
+            )
         """,
         # IR family (operators/textsearch.py): shared nonempty-token view
         "postings_stats": """

@@ -263,6 +263,26 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     )
     timed("gopher_filter", lambda: gopher_quality_filter(docs).count())
 
+    # NEW late-r5 session 3: the IR family over the docs table, DSIR
+    # importance weights, motif counting, and maximal matching on the
+    # synthetic page graph
+    from tric_spark.operators.dsir import dsir_logweights
+    from tric_spark.operators.matching import maximal_matching
+    from tric_spark.operators.motifs import fourclique_count
+    from tric_spark.operators.textsearch import bm25_topk, inverted_index
+
+    timed("inverted_index", lambda: inverted_index(docs).count())
+    timed(
+        "bm25_topk",
+        lambda: bm25_topk(docs, ["spark", "query", "fast"], k=20).count(),
+    )
+    timed(
+        "dsir_weights",
+        lambda: dsir_logweights(docs, F.col("lang") == "en").count(),
+    )
+    timed("fourclique", lambda: fourclique_count(oriented, deg=deg))
+    timed("maximal_matching", lambda: maximal_matching(canon).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]

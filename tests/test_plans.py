@@ -65,3 +65,19 @@ def test_whole_stage_codegen_in_kernels(spark):
         assert "*(" in plan, plan  # WholeStageCodegen stage markers
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark):
+    """Q6 is the pure pushdown exerciser: every predicate (shipdate range,
+    discount band, quantity cap) must appear in PushedFilters, and the
+    scan must read only the four referenced columns."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_tpch_q6(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], pushed[0]
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_extendedprice" in scan[0]
+    assert "l_orderkey" not in scan[0], scan[0]

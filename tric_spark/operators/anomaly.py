@@ -1,0 +1,72 @@
+"""Event-rate anomaly detection — rolling z-scores over hourly counts.
+[relational-checklist family: the window-frame exerciser with an
+operational use — the monitor a crawl/ingest pipeline runs over its own
+event stream to flag rate spikes and droughts]
+
+Shape: one groupBy to hourly (ts_hour, event_type) counts, then ONE
+window pass per series — mean/stddev over the trailing ``window_hours``
+buckets EXCLUDING the current one (``rowsBetween(-window_hours, -1)``),
+z = (n − μ)/σ. Rows with fewer than ``min_history`` trailing buckets or
+σ = 0 get NULL z (insufficient evidence ≠ anomaly). All JVM window
+expressions; the partition key is event_type so a year of hourly buckets
+per series is a few thousand rows per partition — trivially balanced at
+any scale (series count is the parallelism, not time).
+
+Determinism: counts are exact, stddev is the sample estimator on both
+engines (Spark ``stddev`` == DuckDB ``stddev_samp``), z rounded 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """(ts_hour, event_type, n) — exact hourly event counts."""
+    return (
+        events.select(
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"), "event_type"
+        )
+        .groupBy("ts_hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    window_hours: int = 12,
+    min_history: int = 4,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """(ts_hour, event_type, n, mu, sigma, z, is_anomaly) per hourly
+    bucket. ``mu``/``sigma`` describe the trailing window only (never the
+    current bucket — a spike must not mask itself); NULL z where history
+    is short or flat."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_hour")
+        .rowsBetween(-window_hours, -1)
+    )
+    hc = hourly_counts(events)
+    stats = hc.select(
+        "ts_hour",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(w).alias("hist"),
+        F.round(F.avg("n").over(w), 6).alias("mu"),
+        F.round(F.stddev("n").over(w), 6).alias("sigma"),
+    )
+    z = F.when(
+        (F.col("hist") >= min_history) & (F.col("sigma") > 0),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6),
+    )
+    return stats.select(
+        "ts_hour",
+        "event_type",
+        "n",
+        "mu",
+        "sigma",
+        z.alias("z"),
+        (F.abs(z) >= z_thresh).alias("is_anomaly"),
+    )
