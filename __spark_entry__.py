@@ -767,6 +767,36 @@ def q_random_walks(spark, sf_dir):
     return random_walks(sym, num_steps=4)
 
 
+def q_biased_walks(spark, sf_dir):
+    """node2vec (p=2, q=0.5) second-order biased walks — integer-scaled
+    weights and a 12-hex md5 threshold make every weighted draw exact
+    integer math, replayed by the unnest+cumsum+QUALIFY oracle."""
+    from tric_spark.operators.walks import biased_walks
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return biased_walks(sym, num_steps=4, p=2.0, q=0.5)
+
+
+def q_mc_pagerank(spark, sf_dir):
+    """Monte-Carlo PageRank: md5-deterministic terminate/hop coins,
+    visits → rank_est = visits·(1-c)/n_walks; the oracle replays the
+    identical truncated walk ensemble."""
+    from tric_spark.operators.walks import mc_pagerank
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return mc_pagerank(sym, c=0.85, walks_per_vertex=2, max_steps=6)
+
+
+def q_walk_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence pairs over the deterministic walk corpus
+    (node2vec/DeepWalk preprocessing) — the windowed self-join replayed
+    on the same unrolled trajectory oracle."""
+    from tric_spark.operators.walks import walk_cooccurrence
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return walk_cooccurrence(sym, num_steps=4, window=2)
+
+
 def q_neighborhood2(spark, sf_dir):
     """Exact 2-hop neighborhood sizes — the exact companion of HyperANF."""
     from tric_spark.operators.anf import k_hop_counts
@@ -1400,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "powerlaw_alpha": q_powerlaw_alpha,
         "random_walks": q_random_walks,
+        "walk_cooccurrence": q_walk_cooccurrence,
+        "biased_walks": q_biased_walks,
+        "mc_pagerank": q_mc_pagerank,
         "neighborhood2": q_neighborhood2,
         "anf_curve": q_anf_curve,
         "effective_diameter": q_effective_diameter,
@@ -2241,10 +2274,11 @@ def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
     )
 
 
-def _walks_sql(num_steps: int = 4, seed: int = 42) -> str:
-    """Every hop of operators/walks.py::random_walks replayed: sorted
-    adjacency lists, index = first 6 hex digits of
-    md5('w:seed:walk:step:vid') mod degree, 1-based list pick."""
+def _walks_ctes(num_steps: int = 4, seed: int = 42) -> tuple[list, str]:
+    """Shared unroll for the walk-family oracles: every hop of
+    operators/walks.py::random_walks replayed (sorted adjacency lists,
+    index = first 6 hex digits of md5('w:seed:walk:step:vid') mod degree,
+    1-based list pick). Returns (cte_list, trajectory-union select)."""
     ctes = [
         "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs,"
         " count(*) AS deg FROM sym GROUP BY src)",
@@ -2264,7 +2298,125 @@ def _walks_sql(num_steps: int = 4, seed: int = 42) -> str:
         f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM w{t}"
         for t in range(num_steps + 1)
     )
+    return ctes, unions
+
+
+def _walks_sql(num_steps: int = 4, seed: int = 42) -> str:
+    ctes, unions = _walks_ctes(num_steps, seed)
     return f"WITH {E}, {', '.join(ctes)} SELECT walk_id, step, vid FROM ({unions})"
+
+
+def _biased_walks_sql(
+    num_steps: int = 4, p: float = 2.0, q: float = 0.5, seed: int = 42
+) -> str:
+    """operators/walks.py::biased_walks replayed hop-for-hop: integer
+    node2vec weights (round(1e4/p), 1e4, round(1e4/q)), thr = 12-hex md5
+    mod total weight, pick = first sorted neighbor whose cumulative
+    weight exceeds thr (window cumsum + QUALIFY row_number = 1)."""
+    w_ret, w_in, w_out = round(10_000 / p), 10_000, round(10_000 / q)
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs,"
+        " count(*) AS deg FROM sym GROUP BY src)",
+    ]
+    h1 = (
+        f"md5('b:{seed}:' || a.src::VARCHAR || ':1:' || a.src::VARCHAR)"
+    )
+    i1 = f"(('0x' || substr({h1}, 1, 12))::BIGINT % a.deg)"
+    ctes.append(
+        "w1 AS MATERIALIZED (SELECT a.src AS walk_id, a.src AS prev,"
+        f" a.nbrs[CAST({i1} AS INT) + 1] AS cur FROM adj a)"
+    )
+    for t in range(2, num_steps + 1):
+        ctes.append(
+            f"c{t} AS (SELECT walk_id, prev, cur, unnest(nbrs) AS x,"
+            f" generate_subscripts(nbrs, 1) AS i, pnbrs FROM ("
+            f"SELECT w.walk_id, w.prev, w.cur, a.nbrs, ap.nbrs AS pnbrs"
+            f" FROM w{t - 1} w JOIN adj a ON a.src = w.cur"
+            f" JOIN adj ap ON ap.src = w.prev))"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT walk_id, cur, x, i,"
+            f" CASE WHEN x = prev THEN {w_ret}"
+            f" WHEN list_contains(pnbrs, x) THEN {w_in}"
+            f" ELSE {w_out} END AS wt FROM c{t})"
+        )
+        ht = f"md5('b:{seed}:' || walk_id::VARCHAR || ':{t}:' || cur::VARCHAR)"
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, cur AS prev, x AS cur"
+            f" FROM (SELECT *,"
+            f" sum(wt) OVER (PARTITION BY walk_id ORDER BY i) AS cum,"
+            f" sum(wt) OVER (PARTITION BY walk_id) AS tot,"
+            f" ('0x' || substr({ht}, 1, 12))::BIGINT AS h FROM d{t})"
+            f" WHERE cum > h % tot"
+            f" QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY i) = 1)"
+        )
+    unions = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vid FROM w1"
+    ] + [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM w{t}"
+        for t in range(1, num_steps + 1)
+    ]
+    u = " UNION ALL ".join(unions)
+    return f"WITH {E}, {', '.join(ctes)} SELECT walk_id, step, vid FROM ({u})"
+
+
+def _mc_pagerank_sql(
+    c: float = 0.85, reps: int = 2, max_steps: int = 6, seed: int = 42
+) -> str:
+    """operators/walks.py::mc_pagerank replayed: per-step md5 coin
+    ('mcc' tag, 6 hex mod 1e6 < round(c*1e6)) gates survival, uniform
+    md5 hop ('mch'), visits = union of live-walk positions per step,
+    rank_est = visits * (1-c) / n_walks — the (1-c) literal is the
+    python-computed double repr so both engines multiply the SAME
+    double."""
+    cint = round(c * 1_000_000)
+    rep_list = ", ".join(str(k) for k in range(reps))
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs,"
+        " count(*) AS deg FROM sym GROUP BY src)",
+        f"m0 AS MATERIALIZED (SELECT a.src AS walk_id, r.rep, a.src AS cur"
+        f" FROM adj a CROSS JOIN (SELECT unnest([{rep_list}]) AS rep) r)",
+    ]
+    for t in range(1, max_steps + 1):
+        key = (
+            f"'{seed}:' || w.walk_id::VARCHAR || ':' || w.rep::VARCHAR"
+            f" || ':{t}:' || w.cur::VARCHAR"
+        )
+        coin = f"('0x' || substr(md5('mcc:' || {key}), 1, 6))::BIGINT % 1000000"
+        hop = f"(('0x' || substr(md5('mch:' || {key}), 1, 6))::BIGINT % a.deg)"
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT w.walk_id, w.rep,"
+            f" a.nbrs[CAST({hop} AS INT) + 1] AS cur"
+            f" FROM m{t - 1} w JOIN adj a ON a.src = w.cur"
+            f" WHERE {coin} < {cint})"
+        )
+    allv = " UNION ALL ".join(
+        f"SELECT cur FROM m{t}" for t in range(max_steps + 1)
+    )
+    return (
+        f"WITH {E}, {', '.join(ctes)} "
+        f"SELECT cur AS vid, count(*)::BIGINT AS visits,"
+        f" round((count(*) * CAST({1.0 - c!r} AS DOUBLE))"
+        f" / (SELECT count(*) FROM m0), 6) AS rank_est"
+        f" FROM ({allv}) GROUP BY cur"
+    )
+
+
+def _walk_cooc_sql(num_steps: int = 4, window: int = 2, seed: int = 42) -> str:
+    """walk_cooccurrence replay: the same trajectory unroll, then the
+    windowed self-join on walk_id with the canonical (least, greatest)
+    pair grouping — byte-for-byte the Spark plan's semantics."""
+    ctes, unions = _walks_ctes(num_steps, seed)
+    ctes.append(f"traj AS MATERIALIZED (SELECT * FROM ({unions}))")
+    return (
+        f"WITH {E}, {', '.join(ctes)} "
+        "SELECT least(x.vid, y.vid) AS a, greatest(x.vid, y.vid) AS b,"
+        " count(*)::BIGINT AS cnt"
+        " FROM traj x JOIN traj y ON x.walk_id = y.walk_id"
+        f" AND y.step > x.step AND y.step - x.step <= {window}"
+        " AND x.vid <> y.vid"
+        " GROUP BY 1, 2"
+    )
 
 
 def _anf_sql(max_h: int = 6, seed: str = "anf") -> str:
@@ -2528,6 +2680,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT m FROM mm)::BIGINT AS m_edges
         """,
         "random_walks": _walks_sql(num_steps=4),
+        "walk_cooccurrence": _walk_cooc_sql(num_steps=4, window=2),
+        "biased_walks": _biased_walks_sql(num_steps=4, p=2.0, q=0.5),
+        "mc_pagerank": _mc_pagerank_sql(c=0.85, reps=2, max_steps=6),
         "neighborhood2": f"""
             WITH {E},
             r2 AS (
