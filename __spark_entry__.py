@@ -757,6 +757,35 @@ def q_crawl_frontier(spark, sf_dir):
     return frontier_topk_per_host(scores, host_map, k=5)
 
 
+def q_triangles_list(spark, sf_dir):
+    """Triangle ENUMERATION (not just the count): the id-oriented wedge
+    join emits one (i,j,k) row per triangle, i<j<k — the _TRI oracle CTE
+    read out directly."""
+    from tric_spark.operators.tc import triangles_join
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return triangles_join(canon)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing (capacity 256) over
+    per-host token streams in deterministic (md5(doc_id), doc_id) order —
+    the pretraining-batch index as a table."""
+    from tric_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256)
+
+
+def q_packing_stats(spark, sf_dir):
+    """Per-host packing-efficiency readout (docs, tokens, bins,
+    fill_ratio) over the capacity-256 packing."""
+    from tric_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_stats(pack_sequences(docs, capacity=256), capacity=256)
+
+
 def q_random_walks(spark, sf_dir):
     """4-step md5-seeded walks from every vertex — every hop replayed
     verbatim by the unrolled oracle (sorted adjacency + hex-parsed md5
@@ -1429,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "sssp_weighted": q_sssp_weighted,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "triangles_list": q_triangles_list,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
         "random_walks": q_random_walks,
         "walk_cooccurrence": q_walk_cooccurrence,
         "biased_walks": q_biased_walks,
@@ -2678,6 +2710,50 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END, 6) AS modularity,
                    coalesce((SELECT nc FROM ds), 0)::BIGINT AS n_communities,
                    (SELECT m FROM mm)::BIGINT AS m_edges
+        """,
+        "triangles_list": f"WITH {E}, {_TRI} SELECT i, j, k FROM tri",
+        # capacity-256 concat-and-split packing; md5(doc_id) stream order
+        # replays verbatim; integer floor math only
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id, source AS grp,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     md5(doc_id::VARCHAR) AS h
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT doc_id, grp, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM base
+            )
+            SELECT doc_id, grp, n_tokens::BIGINT AS n_tokens,
+                   (cum - n_tokens)::BIGINT AS start_off,
+                   CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin_start,
+                   CAST(floor((cum - 1) / 256) AS BIGINT) AS bin_end
+            FROM c
+        """,
+        "packing_stats": """
+            WITH base AS (
+              SELECT doc_id, source AS grp,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     md5(doc_id::VARCHAR) AS h
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT grp, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM base
+            ), p AS (
+              SELECT grp, n_tokens,
+                     CAST(floor((cum - 1) / 256) AS BIGINT) AS bin_end
+              FROM c
+            )
+            SELECT grp, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   (max(bin_end) + 1)::BIGINT AS n_bins,
+                   round(sum(n_tokens)::DOUBLE / ((max(bin_end) + 1) * 256), 6)
+                     AS fill_ratio
+            FROM p GROUP BY grp
         """,
         "random_walks": _walks_sql(num_steps=4),
         "walk_cooccurrence": _walk_cooc_sql(num_steps=4, window=2),
