@@ -757,6 +757,49 @@ def q_crawl_frontier(spark, sf_dir):
     return frontier_topk_per_host(scores, host_map, k=5)
 
 
+def q_mst_forest(spark, sf_dir):
+    """Borůvka minimum spanning forest over the canonical doc graph with
+    (src+dst)%7+1 weights — unique under the (w, src, dst) total order,
+    replayed round-for-round by the unrolled oracle."""
+    from tric_spark.operators.mst import minimum_spanning_forest
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    we = canon.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight")
+    )
+    return minimum_spanning_forest(we)
+
+
+def q_densest_core(spark, sf_dir):
+    """Max-core induced subgraph density (the degeneracy ½-approx of the
+    densest subgraph) — peeling loop + one broadcast max + two semi-joins."""
+    from tric_spark.operators.kcore import densest_core
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return densest_core(sym)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Lloyd k-means assignments over the embeddings table (k=8, 4 fixed
+    supersteps, md5 init) — the trajectory is deterministic so the oracle
+    replays it iteration-for-iteration."""
+    from tric_spark.operators.kmeans import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=8, iters=4, seed=42)
+    return assign
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Cluster-size + within-cluster-SSE readout of the same k-means run
+    (the Lloyd objective per cluster)."""
+    from tric_spark.operators.kmeans import kmeans, kmeans_summary
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=8, iters=4, seed=42)
+    return kmeans_summary(assign)
+
+
 def q_triangles_list(spark, sf_dir):
     """Triangle ENUMERATION (not just the count): the id-oriented wedge
     join emits one (i,j,k) row per triangle, i<j<k — the _TRI oracle CTE
@@ -1458,6 +1501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "sssp_weighted": q_sssp_weighted,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "mst_forest": q_mst_forest,
+        "densest_core": q_densest_core,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_clusters": q_kmeans_clusters,
         "triangles_list": q_triangles_list,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
@@ -1638,12 +1685,13 @@ def _oracle_rounds(base: int) -> int:
     return base
 
 
-def _core_numbers_sql(rounds: int = 32) -> str:
-    """Batch peeling unrolled to ``rounds`` waves (sf0.01 needs 16; extra
-    rounds are no-ops on an empty edge table). Mirrors
+def _core_ctes(rounds: int) -> tuple[list, str]:
+    """Shared peeling unroll for the core-family oracles (sf0.01 needs 16
+    waves; extra rounds are no-ops on an empty edge table). Mirrors
     tric_spark.operators.kcore.core_numbers: per wave, the level k is the
     running max of the min degree, vertices with degree ≤ k (or stranded
-    with no surviving edges) peel at level k."""
+    with no surviving edges) peel at level k. Returns (cte_list,
+    (vid, core) union select)."""
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
     # reference, and each wave references the previous one several times —
     # un-materialized, the expansion is exponential in `rounds`.
@@ -1672,7 +1720,142 @@ def _core_numbers_sql(rounds: int = 32) -> str:
             f" WHERE v NOT IN (SELECT src FROM e{i}))"
         )
     unions = " UNION ALL ".join(f"SELECT vid, core FROM g{i}" for i in range(1, rounds + 1))
+    return ctes, unions
+
+
+def _core_numbers_sql(rounds: int = 32) -> str:
+    ctes, unions = _core_ctes(rounds)
     return f"WITH {E}, {', '.join(ctes)} SELECT vid, core FROM ({unions})"
+
+
+def _densest_core_sql(rounds: int = 32) -> str:
+    """densest_core replay: the shared peeling unroll, then k = max core,
+    the induced symmetric edge count halved, density = |E|/|V| at 6dp."""
+    ctes, unions = _core_ctes(rounds)
+    ctes.append(f"cores AS MATERIALIZED (SELECT vid, core FROM ({unions}))")
+    ctes.append("km AS MATERIALIZED (SELECT max(core) AS kmax FROM cores)")
+    ctes.append(
+        "cv AS MATERIALIZED (SELECT vid FROM cores"
+        " WHERE core = (SELECT kmax FROM km))"
+    )
+    return (
+        f"WITH {E}, {', '.join(ctes)} "
+        "SELECT (SELECT kmax FROM km) AS k,"
+        " (SELECT count(*) FROM cv)::BIGINT AS n_vertices,"
+        " (SELECT CAST(count(*) / 2 AS BIGINT) FROM sym"
+        "   WHERE src IN (SELECT vid FROM cv)"
+        "   AND dst IN (SELECT vid FROM cv)) AS n_edges,"
+        " round((SELECT CAST(count(*) / 2 AS BIGINT) FROM sym"
+        "   WHERE src IN (SELECT vid FROM cv)"
+        "   AND dst IN (SELECT vid FROM cv))::DOUBLE"
+        " / (SELECT count(*) FROM cv), 6) AS density"
+    )
+
+
+def _mst_sql(rounds: int = 10, jumps: int = 6) -> str:
+    """operators/mst.py::minimum_spanning_forest replayed round-for-round:
+    per-component minimum outgoing edge under the (w, src, dst, other)
+    total order (row_number replays Spark's struct-min), 2-cycle resolve,
+    ``jumps`` pointer doublings, label relabel. Extra rounds no-op on an
+    exhausted candidate set. Weights are the driver's (src+dst)%7+1.
+    ASSUMPTION (the SF-scaled-unroll convention): Spark contracts each
+    round's pick forest to FIXPOINT; this replay contracts 2^jumps hops,
+    so parity holds while no round's pick chain exceeds 2^jumps — bump
+    ``jumps`` alongside ``rounds`` for a larger-SF sweep."""
+    ctes = [
+        "we AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM und)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS comp FROM"
+        " (SELECT src AS vid FROM we UNION SELECT dst FROM we))",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT l1.comp AS cs, l2.comp AS cd,"
+            f" e.w, e.src, e.dst FROM we e"
+            f" JOIN l{p} l1 ON l1.vid = e.src"
+            f" JOIN l{p} l2 ON l2.vid = e.dst WHERE l1.comp <> l2.comp)"
+        )
+        ctes.append(
+            f"both{r} AS MATERIALIZED ("
+            f"SELECT cs AS comp, cd AS other, w, src, dst FROM cand{r}"
+            f" UNION ALL"
+            f" SELECT cd AS comp, cs AS other, w, src, dst FROM cand{r})"
+        )
+        ctes.append(
+            f"pick{r} AS MATERIALIZED (SELECT comp, w, src, dst, other FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY comp"
+            f" ORDER BY w, src, dst, other) AS rn FROM both{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"j{r}_0 AS MATERIALIZED (SELECT a.comp AS c,"
+            f" CASE WHEN b.other = a.comp THEN least(a.comp, a.other)"
+            f" ELSE a.other END AS t"
+            f" FROM pick{r} a JOIN pick{r} b ON b.comp = a.other)"
+        )
+        for s in range(1, jumps + 1):
+            ctes.append(
+                f"j{r}_{s} AS MATERIALIZED (SELECT a.c, b.t"
+                f" FROM j{r}_{s - 1} a JOIN j{r}_{s - 1} b ON b.c = a.t)"
+            )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l.vid, coalesce(j.t, l.comp) AS comp"
+            f" FROM l{p} l LEFT JOIN j{r}_{jumps} j ON j.c = l.comp)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst, w FROM pick{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {E}, {', '.join(ctes)} "
+        f"SELECT DISTINCT src, dst, w AS weight FROM ({unions})"
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4, seed: int = 42, final: str = "assign") -> str:
+    """operators/kmeans.py replayed iteration-for-iteration: md5-ordered
+    init (top-k by digest — no ties, ids distinct), squared-L2 rounded 6dp
+    with cluster-id tie-break (row_number replays Spark's struct-min),
+    per-dimension mean rounded 6dp. ``final`` picks the readout: the last
+    assignment table or the per-cluster (n, inertia) summary."""
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id AS vid,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY r, vid)"
+        f" AS cluster, v AS c FROM (SELECT vid, v,"
+        f" md5('km:{seed}:' || vid::VARCHAR) AS r FROM emb"
+        f" ORDER BY r, vid LIMIT {k}))",
+    ]
+    dist = (
+        "round((SELECT sum((e.v[i]-c.c[i])*(e.v[i]-c.c[i]))"
+        " FROM unnest(generate_series(1, len(e.v))) AS u(i)), 6)"
+    )
+    for t in range(1, iters + 2):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT e.vid, c.cluster, {dist} AS d"
+            f" FROM emb e CROSS JOIN c{t - 1} c)"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT vid, cluster, d FROM"
+            f" (SELECT vid, cluster, d, row_number() OVER (PARTITION BY vid"
+            f" ORDER BY d, cluster) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        if t <= iters:
+            ctes.append(
+                f"c{t} AS MATERIALIZED (SELECT cluster,"
+                f" list(cv ORDER BY pos) AS c FROM"
+                f" (SELECT a.cluster, i AS pos, round(avg(e.v[i]), 6) AS cv"
+                f" FROM a{t} a JOIN emb e ON e.vid = a.vid,"
+                f" unnest(generate_series(1, len(e.v))) AS u(i)"
+                f" GROUP BY a.cluster, i) GROUP BY cluster)"
+            )
+    last = f"a{iters + 1}"
+    if final == "assign":
+        readout = f"SELECT vid, cluster, d FROM {last}"
+    else:
+        readout = (
+            f"SELECT cluster, count(*)::BIGINT AS n,"
+            f" round(sum(d), 6) AS inertia FROM {last} GROUP BY cluster"
+        )
+    return f"WITH {', '.join(ctes)} {readout}"
 
 
 def _pagerank_converged_sql(rounds: int = 220) -> str:
@@ -2619,6 +2802,10 @@ def oracle_sql() -> dict[str, str]:
             FROM deg
         """,
         "core_numbers": _core_numbers_sql(_oracle_rounds(32)),
+        "densest_core": _densest_core_sql(_oracle_rounds(32)),
+        "mst_forest": _mst_sql(_oracle_rounds(10), jumps=6),
+        "kmeans_assign": _kmeans_sql(k=8, iters=4, final="assign"),
+        "kmeans_clusters": _kmeans_sql(k=8, iters=4, final="summary"),
         "kcore2_edges": _kcore_sql(2, _oracle_rounds(24)),
         "edge_support": f"WITH {E}, {_TRI}, {_SUPPORT} SELECT src, dst, support FROM sup",
         "ktruss3_edges": _ktruss_sql(3, _oracle_rounds(10)),

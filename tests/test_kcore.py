@@ -71,3 +71,26 @@ def test_core_numbers_fold_bounds_plan_width(spark):
     sym = _sym(spark, pairs)
     got = {r.vid: r.core for r in core_numbers(sym, fold_every=1).collect()}
     assert got == want
+
+
+def test_densest_core_k5_plus_tail(spark):
+    from tric_spark.operators.kcore import densest_core
+
+    # K5 (4-core, density 10/5=2.0) + a path tail hanging off vertex 0
+    pairs = K5 + [(0, 10), (10, 11), (11, 12)]
+    (r,) = densest_core(_sym(spark, pairs)).collect()
+    assert (r.k, r.n_vertices, r.n_edges, r.density) == (4, 5, 10, 2.0)
+
+
+def test_densest_core_matches_python_peel(spark):
+    from tric_spark.operators.kcore import densest_core
+
+    pairs = er_graph(n=60, p_inv=4, seed=23)
+    core = core_numbers_oracle(pairs)
+    kmax = max(core.values())
+    cv = {v for v, c in core.items() if c == kmax}
+    eset = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    ne = sum(1 for a, b in eset if a in cv and b in cv)
+    (r,) = densest_core(_sym(spark, pairs)).collect()
+    assert (r.k, r.n_vertices, r.n_edges) == (kmax, len(cv), ne)
+    assert r.density == round(ne / len(cv), 6)

@@ -120,3 +120,42 @@ def core_numbers(
     fold()
     assert out is not None
     return out
+
+
+def densest_core(sym_edges: DataFrame) -> DataFrame:
+    """One row (k, n_vertices, n_edges, density): the max-core induced
+    subgraph and its edge density ρ = |E|/|V| — the degeneracy-ordering
+    readout of Charikar's densest-subgraph objective (the max core is a
+    ½-approximation of the densest subgraph; Asahiro et al. / Charikar
+    2000). The standard web-graph "community nucleus" probe.
+
+    Plan shape: the peeling loop is :func:`core_numbers`; afterwards ONE
+    broadcast 1-row max picks k_max, two semi-joins induce the subgraph,
+    and a single aggregate reads out the counts — no collects, no extra
+    supersteps, so it inherits core_numbers' bounded-state scale story.
+    """
+    cores = core_numbers(sym_edges).localCheckpoint(eager=True)
+    kmax = cores.agg(F.max("core").alias("kmax"))
+    core_v = (
+        cores.crossJoin(F.broadcast(kmax))
+        .filter(F.col("core") == F.col("kmax"))
+        .select("vid")
+    )
+    induced = sym_edges.join(
+        core_v.withColumnRenamed("vid", "src"), "src", "left_semi"
+    ).join(core_v.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    nv = core_v.agg(F.count("*").alias("n_vertices"))
+    ne = induced.agg((F.count("*") / 2).cast("long").alias("n_edges"))
+    return (
+        kmax.select(F.col("kmax").alias("k"))
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "k",
+            "n_vertices",
+            "n_edges",
+            F.round(F.col("n_edges") / F.col("n_vertices"), 6).alias(
+                "density"
+            ),
+        )
+    )
