@@ -10,6 +10,7 @@ against DuckDB at sf0.01. Column names/aliases match the SQL exactly.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -800,6 +801,50 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_summary(assign)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """EXACT doc-length percentiles via the value-histogram + cumulative
+    window (cardinality-bounded, not row-bounded) — the scalable exact
+    alternative to driver-side approxQuantile."""
+    return textstats.exact_quantiles(
+        load_table(spark, sf_dir, "documents"), "n_chars", (25, 50, 75, 90, 99)
+    )
+
+
+def q_mix_weights(spark, sf_dir):
+    """GPT-3/PaLM-style temperature-scaled source sampling weights:
+    w_s ∝ tokens_s^0.7, one groupBy + one broadcast normalizer."""
+    return textstats.source_mix_weights(
+        load_table(spark, sf_dir, "documents"), alpha=0.7
+    )
+
+
+def q_rp_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims (map-only,
+    driver-side matrix literals, zero per-row hashing) — flattened to
+    columns for the hash gate, same convention as minhash_signatures."""
+    pr = similarity.rp_project(
+        load_table(spark, sf_dir, "embeddings"), out_dims=16
+    )
+    return pr.select(
+        "vec_id", *[F.col("proj")[i].alias(f"p{i}") for i in range(16)]
+    )
+
+
+def q_rp_kmeans(spark, sf_dir):
+    """The 100-TB clustering recipe end-to-end: JL-project 64→16 dims
+    (map-only), then Lloyd k-means in the reduced space — 4× less state
+    per centroid broadcast and 4× cheaper distances; the 6dp-rounded
+    projection makes the composed trajectory oracle-replayable."""
+    from tric_spark.operators.kmeans import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.rp_project(emb, out_dims=16).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    assign, _ = kmeans(proj, k=8, iters=2, seed=42)
+    return assign
+
+
 def q_triangles_list(spark, sf_dir):
     """Triangle ENUMERATION (not just the count): the id-oriented wedge
     join emits one (i,j,k) row per triangle, i<j<k — the _TRI oracle CTE
@@ -1505,6 +1550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_core": q_densest_core,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_clusters": q_kmeans_clusters,
+        "length_quantiles": q_length_quantiles,
+        "mix_weights": q_mix_weights,
+        "rp_project": q_rp_project,
+        "rp_kmeans": q_rp_kmeans,
         "triangles_list": q_triangles_list,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
@@ -1810,15 +1859,26 @@ def _mst_sql(rounds: int = 10, jumps: int = 6) -> str:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 4, seed: int = 42, final: str = "assign") -> str:
+def _kmeans_sql(
+    k: int = 8,
+    iters: int = 4,
+    seed: int = 42,
+    final: str = "assign",
+    emb_select: str | None = None,
+) -> str:
     """operators/kmeans.py replayed iteration-for-iteration: md5-ordered
     init (top-k by digest — no ties, ids distinct), squared-L2 rounded 6dp
     with cluster-id tie-break (row_number replays Spark's struct-min),
     per-dimension mean rounded 6dp. ``final`` picks the readout: the last
-    assignment table or the per-cluster (n, inertia) summary."""
+    assignment table or the per-cluster (n, inertia) summary.
+    ``emb_select`` overrides the (vid, v) point source — used by the
+    rp_kmeans composition to feed the JL projection in."""
+    emb_select = emb_select or (
+        "SELECT vec_id AS vid,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+    )
     ctes = [
-        "emb AS MATERIALIZED (SELECT vec_id AS vid,"
-        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"emb AS MATERIALIZED ({emb_select})",
         f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY r, vid)"
         f" AS cluster, v AS c FROM (SELECT vid, v,"
         f" md5('km:{seed}:' || vid::VARCHAR) AS r FROM emb"
@@ -1856,6 +1916,22 @@ def _kmeans_sql(k: int = 8, iters: int = 4, seed: int = 42, final: str = "assign
             f" round(sum(d), 6) AS inertia FROM {last} GROUP BY cluster"
         )
     return f"WITH {', '.join(ctes)} {readout}"
+
+
+def _rp_sql(out_dims: int = 16, seed: int = 42) -> str:
+    """similarity.rp_project replayed: component p is the md5-±1 weighted
+    sum (same plane rule as _hyperplane_sig_sql) scaled by 1/√out_dims
+    (exact for perfect-square out_dims) and rounded 6dp."""
+    scale = 1.0 / math.sqrt(out_dims)
+    comps = ", ".join(
+        f"""round((SELECT sum(CASE WHEN strpos('89abcdef',
+              substr(md5('{seed}:' || (i-1)::VARCHAR), {p + 1}, 1)) > 0
+            THEN embedding[i]::DOUBLE ELSE -(embedding[i]::DOUBLE) END)
+          FROM unnest(generate_series(1, len(embedding))) AS u(i))
+          * {scale!r}, 6) AS p{p}"""
+        for p in range(out_dims)
+    )
+    return f"SELECT vec_id, {comps} FROM embeddings"
 
 
 def _pagerank_converged_sql(rounds: int = 220) -> str:
@@ -2806,6 +2882,44 @@ def oracle_sql() -> dict[str, str]:
         "mst_forest": _mst_sql(_oracle_rounds(10), jumps=6),
         "kmeans_assign": _kmeans_sql(k=8, iters=4, final="assign"),
         "kmeans_clusters": _kmeans_sql(k=8, iters=4, final="summary"),
+        # rank-based exact percentiles (value at rank ceil(p·n)) over the
+        # distinct-value histogram — replays textstats.exact_quantiles
+        "length_quantiles": """
+            WITH counts AS (SELECT n_chars AS v, count(*) AS cnt
+                            FROM documents GROUP BY 1),
+            cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM counts),
+            tot AS (SELECT count(*) AS n FROM documents),
+            ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+            SELECT pct, min(v) AS value FROM cum, tot, ps
+            WHERE cum >= ceil(pct / 100.0 * n)
+            GROUP BY pct
+        """,
+        "rp_project": _rp_sql(out_dims=16, seed=42),
+        "rp_kmeans": _kmeans_sql(
+            k=8,
+            iters=2,
+            final="assign",
+            emb_select=(
+                "SELECT vec_id AS vid, ["
+                + ", ".join(f"p{p}" for p in range(16))
+                + f"] AS v FROM ({_rp_sql(out_dims=16, seed=42)})"
+            ),
+        ),
+        # sum(int) is HUGEINT in DuckDB -> ::BIGINT (engine lore); tokens
+        # follow token_counts' split-on-space rule, NULL text counts 0
+        "mix_weights": """
+            WITH agg AS (
+              SELECT coalesce(source, '') AS source,
+                     count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN text IS NULL THEN 0
+                              ELSE len(string_split(text, ' ')) END)::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY 1
+            ), tot AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM agg)
+            SELECT source, n_docs, n_tokens,
+                   round(pow(n_tokens, 0.7) / z, 6) AS weight
+            FROM agg, tot
+        """,
         "kcore2_edges": _kcore_sql(2, _oracle_rounds(24)),
         "edge_support": f"WITH {E}, {_TRI}, {_SUPPORT} SELECT src, dst, support FROM sup",
         "ktruss3_edges": _ktruss_sql(3, _oracle_rounds(10)),

@@ -283,6 +283,17 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     timed("fourclique", lambda: fourclique_count(oriented, deg=deg))
     timed("maximal_matching", lambda: maximal_matching(canon).count())
 
+    # NEW late-r5 session 4: Lloyd k-means on the embeddings (2 supersteps
+    # — measures the broadcast-crossJoin assign + posexplode update pair).
+    # Borůvka MST is deliberately NOT in the headline: its cost is
+    # superstep-action count (~log2(n) rounds x pick/contract/relabel
+    # checkpoints ≈ 40s at sf0.01 after fusing), which would drown the
+    # data-bound queries this workload tracks; the driver's sf0.01
+    # correctness gate still runs it end-to-end every round.
+    from tric_spark.operators.kmeans import kmeans
+
+    timed("kmeans8", lambda: kmeans(emb, k=8, iters=2)[0].count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]

@@ -103,3 +103,19 @@ def test_mst_on_sf0001_doc_graph(spark):
         for r in minimum_spanning_forest(we).collect()
     }
     assert got == _kruskal(wedges) and got
+
+
+def test_mst_stats_stay_bounded_on_long_chain(spark):
+    """Regression for the localCheckpoint origin-stats bomb (see
+    plans/lineage.py): self-joining supersteps square the sizeInBytes
+    estimate unless the checkpoint cuts stats too. A path graph with
+    monotone weights maximizes chain length (every component picks its
+    left edge), forcing many doubling steps; the result's estimate must
+    stay near the constant default, not an exponential BigInt."""
+    from tric_spark.plans.lineage import stats_size_bits
+
+    wedges = [(i, i + 1, i + 1) for i in range(100)]  # sorted-weight path
+    forest = minimum_spanning_forest(_wdf(spark, wedges))
+    got = {(r.src, r.dst, r.weight) for r in forest.collect()}
+    assert got == _kruskal(wedges)
+    assert stats_size_bits(forest) < 256

@@ -81,3 +81,28 @@ def test_tpch_q6_predicates_reach_the_scan(spark):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "l_extendedprice" in scan[0]
     assert "l_orderkey" not in scan[0], scan[0]
+
+
+def test_rp_project_plan_is_map_only(spark):
+    """JL projection must be a single map stage over the scan: no shuffle
+    Exchange, no Python eval — the matrix ships as literals."""
+    from tric_spark.operators.similarity import rp_project
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(rp_project(emb, out_dims=16))
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_kmeans_assign_plan_broadcasts_centroids(spark):
+    """The n×k distance pass must broadcast the centroid frame — a
+    SortMergeJoin of points against centroids would shuffle the points
+    once per superstep."""
+    from tric_spark.operators.kmeans import kmeans
+
+    emb = load_table(spark, SF, "embeddings")
+    assign, _ = kmeans(emb, k=4, iters=1)
+    plan = _plan(assign)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

@@ -21,19 +21,27 @@ ceil(log2(n)) suffices.
 Scale shape: per round ONE relabel join over the (never-materialized-
 as-adjacency) edge table + ONE per-component struct-min aggregation; the
 contraction joins touch only the component-count-sized pick frame, which
-at least halves per round. EVERY doubling step is eagerly checkpointed —
-leaving the chain lazy squares the plan per step and Catalyst's
-SizeInBytesOnlyStatsPlanVisitor then multiplies BigInt sizeInBytes over
-the exponential tree (measured: the driver ground >11 CPU-minutes of
-BigInteger.multiplyToomCook3 on an 80-vertex graph before this fix).
-Doubling exits when the map stops changing (~log(chain length) steps;
-O(log n) expected chains), bounded by ``max_doublings``.
+at least halves per round. Every state checkpoint here is
+plans/lineage.py::checkpoint_cut, NOT plain localCheckpoint: this
+kernel's supersteps self-join their state, and localCheckpoint carries
+the origin plan's sizeInBytes onto the LogicalRDD leaf, so the estimate
+SQUARES per superstep — Catalyst then grinds astronomically-sized
+BigInts in every planning pass (measured: >11 driver CPU-minutes of
+BigInteger.multiplyToomCook3 on a 500-vertex graph; full analysis in
+plans/lineage.py). The doubling chain checkpoints every TWO steps
+(4 lazy references to a cut leaf keep plans tiny; per-step checkpoints
+double the action count, and superstep ACTIONS, not data, dominate this
+kernel's cost). Doubling exits when the map stops changing
+(~log(chain length) steps; O(log n) expected chains), bounded by
+``max_doublings`` total steps.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from tric_spark.plans.lineage import checkpoint_cut
 
 
 def minimum_spanning_forest(
@@ -46,15 +54,16 @@ def minimum_spanning_forest(
     Unique under the (weight, src, dst) total order; disconnected inputs
     yield one tree per component.
     """
-    we = weighted_edges.select(
-        "src", "dst", F.col("weight").cast("long").alias("w")
-    ).localCheckpoint(eager=True)
-    labels = (
+    we = checkpoint_cut(
+        weighted_edges.select(
+            "src", "dst", F.col("weight").cast("long").alias("w")
+        )
+    )
+    labels = checkpoint_cut(
         we.select(F.col("src").alias("vid"))
         .union(we.select(F.col("dst").alias("vid")))
         .distinct()
         .select("vid", F.col("vid").alias("comp"))
-        .localCheckpoint(eager=True)
     )
     spark = weighted_edges.sparkSession
     chosen: list[DataFrame] = []
@@ -66,25 +75,34 @@ def minimum_spanning_forest(
         ld = labels.select(
             F.col("vid").alias("dst"), F.col("comp").alias("cd")
         )
-        cand = (
+        # ONE pass: candidate edges exploded into both (comp, other)
+        # orientations inline — no separate cand materialization, no
+        # double-reference union (superstep actions are the cost driver
+        # here, not data: measured 81s -> ~half by fusing)
+        both = (
             we.join(ls, "src")
             .join(ld, "dst")
             .filter(F.col("cs") != F.col("cd"))
-            .localCheckpoint(eager=True)
-        )
-        if cand.limit(1).count() == 0:
-            break
-        both = cand.select(
-            F.col("cs").alias("comp"), F.col("cd").alias("other"),
-            "w", "src", "dst",
-        ).unionAll(
-            cand.select(
-                F.col("cd").alias("comp"), F.col("cs").alias("other"),
-                "w", "src", "dst",
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("cs").alias("comp"),
+                            F.col("cd").alias("other"),
+                            "w", "src", "dst",
+                        ),
+                        F.struct(
+                            F.col("cd").alias("comp"),
+                            F.col("cs").alias("other"),
+                            "w", "src", "dst",
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.comp", "e.other", "e.w", "e.src", "e.dst")
         )
         # struct min = lexicographic (w, src, dst, other): the total order
-        pick = (
+        pick = checkpoint_cut(
             both.groupBy("comp")
             .agg(F.min(F.struct("w", "src", "dst", "other")).alias("m"))
             .select(
@@ -94,16 +112,20 @@ def minimum_spanning_forest(
                 F.col("m.dst").alias("dst"),
                 F.col("m.other").alias("other"),
             )
-            .localCheckpoint(eager=True)
         )
+        if pick.limit(1).count() == 0:
+            break
         chosen.append(pick.select("src", "dst", "w").distinct())
 
         # contract the functional pick graph: 2-cycle resolve, then pointer
-        # doubling to fixpoint (checkpoint EVERY step — lazy doubling is a
-        # Catalyst BigInt-stats bomb, see module docstring)
+        # doubling to fixpoint. checkpoint_cut (NOT plain localCheckpoint)
+        # is load-bearing on every self-referencing step: localCheckpoint
+        # preserves origin stats on the LogicalRDD leaf, and a self-join's
+        # sizeInBytes estimate SQUARES per superstep — the BigInt-stats
+        # bomb documented in plans/lineage.py
         p = pick.select(F.col("comp").alias("c"), F.col("other").alias("t"))
         q = p.select(F.col("c").alias("qc"), F.col("t").alias("qt"))
-        r = (
+        r = checkpoint_cut(
             p.join(q, p["t"] == q["qc"])
             .select(
                 "c",
@@ -111,15 +133,19 @@ def minimum_spanning_forest(
                 .otherwise(F.col("t"))
                 .alias("t"),
             )
-            .localCheckpoint(eager=True)
         )
-        for _ in range(max_doublings):
-            r2 = r.select(F.col("c").alias("rc"), F.col("t").alias("rt"))
-            nxt = (
-                r.join(r2, r["t"] == r2["rc"])
-                .select("c", F.col("rt").alias("t"))
-                .localCheckpoint(eager=True)
-            )
+        # two doublings per checkpoint+convergence-check (4 lazy references
+        # to the checkpointed base keep the plan/stats tiny; checking every
+        # step doubles the action count for no benefit — past-fixpoint
+        # doublings are idempotent on self-loop roots)
+        for _ in range((max_doublings + 1) // 2):
+            a = r
+            for _ in range(2):
+                a2 = a.select(F.col("c").alias("rc"), F.col("t").alias("rt"))
+                a = a.join(a2, a["t"] == a2["rc"]).select(
+                    "c", F.col("rt").alias("t")
+                )
+            nxt = checkpoint_cut(a)
             changed = (
                 nxt.join(r.withColumnRenamed("t", "t0"), "c")
                 .filter(F.col("t") != F.col("t0"))
@@ -130,12 +156,9 @@ def minimum_spanning_forest(
             if changed == 0:
                 break
         roots = r.select(F.col("c").alias("comp"), F.col("t").alias("root"))
-        labels = (
+        labels = checkpoint_cut(
             labels.join(roots, "comp", "left")
-            .select(
-                "vid", F.coalesce("root", "comp").alias("comp")
-            )
-            .localCheckpoint(eager=True)
+            .select("vid", F.coalesce("root", "comp").alias("comp"))
         )
 
     if not chosen:

@@ -16,6 +16,8 @@ order differences would break oracle comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -393,4 +395,50 @@ def embedding_neardup_pairs(
     return (
         pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") > threshold)
+    )
+
+
+def rp_project(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, proj) — Johnson–Lindenstrauss random projection to
+    ``out_dims`` dimensions with the ±1 matrix (Achlioptas 2003: ±1
+    entries satisfy the JL lemma; scale 1/√out_dims preserves expected
+    norms). The dimensionality-reduction front-end for ANN / k-means /
+    SemDeDup at 100 TB: the matrix is the SAME md5-derived
+    :func:`hyperplane_matrix` the LSH family ships driver-side as array
+    literals — zero per-row hashing, one multiply-add pass per output
+    dimension, map-only (no shuffle). Components rounded 6dp so the
+    DuckDB oracle replays bit-for-bit; ``out_dims`` ≤ 32 and should be a
+    perfect square so 1/√out_dims is exact in IEEE754. Rows whose width
+    differs from the probed ``dims`` project to NULL (the jagged-input
+    guard, same contract as hyperplane_signature's matrix path)."""
+    dims = _vec_dims(embeddings, vec_col)
+    if dims is None:
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("proj"),
+        )
+    mat = hyperplane_matrix(out_dims, dims, seed)
+    scale = 1.0 / math.sqrt(out_dims)
+    v = _as_double(vec_col)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.lit(mat[p]), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for p in range(out_dims)
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(F.size(F.col(vec_col)) == dims, F.array(*comps)).alias("proj"),
     )

@@ -232,3 +232,64 @@ def host_distribution(docs: DataFrame, host_col: str = "source") -> DataFrame:
             F.round(F.max(p), 6).alias("top1_share"),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str = "n_chars",
+    pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """(pct, value) — EXACT percentiles of an integer column, rank-based
+    (percentile_disc semantics: the value at rank ceil(p·n)). The
+    doc-length profile every curation pipeline reports before choosing
+    min/max-length filters (Gopher §A.1.1 thresholds are length
+    percentiles).
+
+    Scale shape: approxQuantile is driver-side and approximate; this is
+    the exact alternative that still scales — ONE groupBy collapses the
+    rows to a VALUE HISTOGRAM (cardinality = distinct lengths, orders of
+    magnitude below row count), and the cumulative window runs over that
+    histogram, not the rows. The single-partition window is bounded by
+    value cardinality, not data size — the standard exact-quantile trade;
+    for truly unbounded-cardinality columns, bucket first.
+    """
+    spark = df.sparkSession
+    counts = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("cnt").over(w).alias("cum"))
+    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    ps = spark.createDataFrame([(int(p),) for p in pcts], "pct int")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") >= F.ceil(F.col("pct") / F.lit(100.0) * F.col("n")))
+        .groupBy("pct")
+        .agg(F.min("v").alias("value"))
+    )
+
+
+def source_mix_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """(source, n_docs, n_tokens, weight) — temperature-scaled multinomial
+    sampling weights over corpus sources: w_s ∝ (tokens_s)^alpha, the
+    GPT-3/PaLM data-mix rule (alpha < 1 up-weights small high-quality
+    sources; alpha = 1 is proportional mixing). One groupBy + one 1-row
+    broadcast normalizer — no sort, no collect. Token counts follow
+    token_counts' split-on-space rule so the oracle replays them; NULL
+    sources form their own stratum, NULL texts count 0 tokens."""
+    agg = docs.groupBy(
+        F.coalesce(F.col("source"), F.lit("")).alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col())
+            )
+        ).alias("n_tokens"),
+    )
+    tot = agg.agg(F.sum(F.pow("n_tokens", F.lit(alpha))).alias("z"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("z"), 6).alias("weight"),
+    )
