@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tric_spark.plans.lineage import checkpoint_cut
+
 
 def resolve_redirects(
     redirects: DataFrame, max_doublings: int = 40
@@ -40,17 +42,18 @@ def resolve_redirects(
     ``resolved`` is false only for members of redirect cycles (their
     ``final`` is the deterministic 2^max_doublings-hop jump, matching the
     unrolled oracle)."""
-    j = (
-        redirects.groupBy("src")
-        .agg(F.min("dst").alias("cur"))
-        .localCheckpoint(eager=True)
+    j = checkpoint_cut(
+        redirects.groupBy("src").agg(F.min("dst").alias("cur"))
     )
     for _ in range(max_doublings):
         hop = j.select(F.col("src").alias("cur"), F.col("cur").alias("_nxt"))
-        nxt = (
+        # checkpoint_cut, not localCheckpoint: this left-outer SELF-join
+        # squares the carried sizeInBytes estimate per doubling, and a
+        # non-settling cycle (any odd length) runs all max_doublings steps
+        # -> 63*2^40-bit BigInts in the optimizer (plans/lineage.py)
+        nxt = checkpoint_cut(
             j.join(hop, "cur", "left")
             .select("src", F.coalesce("_nxt", "cur").alias("cur"))
-            .localCheckpoint(eager=True)
         )
         settled = (
             j.select("src", F.col("cur").alias("_old"))
