@@ -771,6 +771,20 @@ def q_mst_forest(spark, sf_dir):
     return minimum_spanning_forest(we)
 
 
+def q_single_linkage(spark, sf_dir):
+    """Single-linkage clustering at τ=3 over the weighted doc graph via
+    the MST (Gower–Ross): the Spark side runs CC over the ≤τ FOREST
+    edges; the oracle runs CC over the τ-filtered ORIGINAL graph — two
+    different algorithms whose agreement is the dendrogram property."""
+    from tric_spark.operators.mst import single_linkage_clusters
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    we = canon.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight")
+    )
+    return single_linkage_clusters(we, threshold=3)
+
+
 def q_densest_core(spark, sf_dir):
     """Max-core induced subgraph density (the degeneracy ½-approx of the
     densest subgraph) — peeling loop + one broadcast max + two semi-joins."""
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "powerlaw_alpha": q_powerlaw_alpha,
         "mst_forest": q_mst_forest,
+        "single_linkage": q_single_linkage,
         "densest_core": q_densest_core,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2880,6 +2895,22 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": _core_numbers_sql(_oracle_rounds(32)),
         "densest_core": _densest_core_sql(_oracle_rounds(32)),
         "mst_forest": _mst_sql(_oracle_rounds(10), jumps=6),
+        # single-linkage cross-check: the Spark side clusters via the MST
+        # (CC over <=tau forest edges); this oracle clusters the
+        # tau-filtered ORIGINAL graph — equality IS the Gower-Ross
+        # dendrogram property, checked by the gate
+        "single_linkage": f"""
+            WITH RECURSIVE {E},
+            wf AS (SELECT src, dst FROM und WHERE (src + dst) % 7 + 1 <= 3),
+            swf AS (SELECT src, dst FROM wf
+                    UNION ALL SELECT dst, src FROM wf),
+            r(vid, x) AS (
+              SELECT vid, vid FROM deg
+              UNION
+              SELECT s.dst, r.x FROM swf s JOIN r ON r.vid = s.src
+            )
+            SELECT vid, min(x) AS cluster FROM r GROUP BY vid
+        """,
         "kmeans_assign": _kmeans_sql(k=8, iters=4, final="assign"),
         "kmeans_clusters": _kmeans_sql(k=8, iters=4, final="summary"),
         # rank-based exact percentiles (value at rank ceil(p·n)) over the

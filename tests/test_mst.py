@@ -119,3 +119,34 @@ def test_mst_stats_stay_bounded_on_long_chain(spark):
     got = {(r.src, r.dst, r.weight) for r in forest.collect()}
     assert got == _kruskal(wedges)
     assert stats_size_bits(forest) < 256
+
+
+def test_single_linkage_matches_filtered_cc(spark):
+    from tric_spark.operators.mst import single_linkage_clusters
+
+    wedges = _weighted(er_graph(n=70, p_inv=4, seed=12))
+    tau = 500
+    # union-find referee over the tau-filtered ORIGINAL graph
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verts = {v for s, d, _ in wedges for v in (s, d)}
+    for s, d, w in wedges:
+        if w <= tau:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+    want = {}
+    for v in verts:
+        want.setdefault(find(v), []).append(v)
+    want = {v: min(members) for members in want.values() for v in members}
+    got = {
+        r.vid: r.cluster
+        for r in single_linkage_clusters(_wdf(spark, wedges), tau).collect()
+    }
+    assert got == want

@@ -175,3 +175,35 @@ def mst_total_weight(forest: DataFrame) -> DataFrame:
         F.count("*").alias("n_edges"),
         F.sum("weight").alias("total_weight"),
     )
+
+
+def single_linkage_clusters(
+    weighted_edges: DataFrame,
+    threshold: int,
+    rounds: int = 10,
+    max_doublings: int = 16,
+) -> DataFrame:
+    """(vid, cluster) — single-linkage clustering cut at ``threshold``:
+    the connected components of the forest edges with weight ≤ threshold
+    (Gower–Ross 1969: single-linkage dendrogram = MST). Running CC over
+    the FOREST (≤ n−1 edges) instead of the filtered input graph is the
+    point at scale — the m-edge similarity graph collapses to n−1 rows
+    before the component supersteps run. Cluster id = min member vid
+    (hash-min CC convention); singletons keep their own id. Equivalence
+    with CC over the τ-filtered ORIGINAL graph is what the DuckDB oracle
+    checks — two different algorithms, same answer."""
+    from tric_spark.operators.cc import connected_components
+
+    forest = minimum_spanning_forest(weighted_edges, rounds, max_doublings)
+    keep = forest.filter(F.col("weight") <= F.lit(threshold)).select("src", "dst")
+    sym = keep.unionAll(
+        keep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = (
+        weighted_edges.select(F.col("src").alias("vid"))
+        .union(weighted_edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return connected_components(sym, verts).select(
+        "vid", F.col("comp").alias("cluster")
+    )
