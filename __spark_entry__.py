@@ -1463,9 +1463,24 @@ def q_zipf_alpha(spark, sf_dir):
     return powerlaw_alpha(freqs, d_min=2)
 
 
+def q_local_cluster(spark, sf_dir):
+    """Seed-local community via the ACL PPR sweep cut: 2-iteration PPR
+    from vid 0, degree-normalized, top-64 prefix conductance curve.
+    Scores round to 6dp BEFORE ordering so the oracle replays the same
+    total order (rank-on-the-rounded-key)."""
+    from tric_spark.operators.nibble import sweep_cut
+    from tric_spark.operators.pagerank import personalized_pagerank
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    ranks = personalized_pagerank(sym, verts, seeds, tol=0.0, max_iter=2)
+    return sweep_cut(sym, deg, ranks.select("vid", "rank"), top_t=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
+        "local_cluster": q_local_cluster,
         "degree_histogram": q_degree_histogram,
         "wedge_count": q_wedge_count,
         "fourcycle_count": q_fourcycle_count,
@@ -3647,6 +3662,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.set_id, s.dst AS vid, sum(r.rank/r.degree) AS s
               FROM sym s JOIN mr1 r ON s.src = r.vid GROUP BY r.set_id, s.dst
             ) m ON m.set_id = x.set_id AND m.vid = x.e_vid
+        """,
+        # ACL sweep cut: the ppr_iter2 unroll (seed {{0}}), scores rounded
+        # to 6dp BEFORE the window ordering (rank-on-the-rounded-key), then
+        # prefix conductance via cumulative windows; an edge becomes
+        # internal at k = greatest(pos_src, pos_dst)
+        "local_cluster": f"""
+            WITH {E},
+            e AS (SELECT vid,
+                         CASE WHEN vid = 0 THEN 1.0 ELSE 0.0 END AS e,
+                         degree
+                  FROM deg),
+            r1 AS (
+              SELECT x.vid, 0.15*x.e + 0.85*coalesce(m.s, 0) AS rank,
+                     x.degree, x.e
+              FROM e x LEFT JOIN (
+                SELECT s.dst AS vid, sum(r.e/r.degree) AS s
+                FROM sym s JOIN e r ON s.src = r.vid GROUP BY s.dst
+              ) m ON m.vid = x.vid
+            ),
+            r2 AS (
+              SELECT x.vid, 0.15*x.e + 0.85*coalesce(m.s, 0) AS rank,
+                     x.degree
+              FROM r1 x LEFT JOIN (
+                SELECT s.dst AS vid, sum(r.rank/r.degree) AS s
+                FROM sym s JOIN r1 r ON s.src = r.vid GROUP BY s.dst
+              ) m ON m.vid = x.vid
+            ),
+            topk AS (
+              SELECT vid, round(rank/degree, 6) AS score, degree,
+                     row_number()
+                       OVER (ORDER BY round(rank/degree, 6) DESC, vid) AS k
+              FROM r2
+              QUALIFY k <= 64
+            ),
+            ie AS (
+              SELECT greatest(p1.k, p2.k) AS k, count(*) AS c
+              FROM und e2 JOIN topk p1 ON p1.vid = e2.src
+                          JOIN topk p2 ON p2.vid = e2.dst
+              GROUP BY 1
+            ),
+            sw AS (
+              SELECT t.k, t.vid, t.score,
+                     sum(t.degree) OVER (ORDER BY t.k) AS volk,
+                     sum(coalesce(ie.c, 0)) OVER (ORDER BY t.k) AS intk
+              FROM topk t LEFT JOIN ie ON ie.k = t.k
+            ),
+            tot AS (SELECT sum(degree) AS vol FROM deg)
+            SELECT k, vid, score,
+                   CASE WHEN least(volk, vol - volk) > 0
+                        THEN round((volk - 2*intk)
+                                   / least(volk, vol - volk), 6)
+                   END AS conductance
+            FROM sw, tot
         """,
         "ppr_iter2": f"""
             WITH {E},
