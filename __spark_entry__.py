@@ -1477,10 +1477,27 @@ def q_local_cluster(spark, sf_dir):
     return sweep_cut(sym, deg, ranks.select("vid", "rank"), top_t=64)
 
 
+def q_simrank_hosts(spark, sf_dir):
+    """SimRank (2 iterations, C=0.8) over the directed host rollup —
+    'similar hosts are linked by similar hosts'. All-pairs state is sane
+    precisely because it runs on the rollup, not the page graph."""
+    from tric_spark.operators.simrank import simrank
+
+    he, hosts = _host_graph(spark, sf_dir)
+    directed = he.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    r = simrank(directed, hosts, iters=2, c=0.8)
+    return r.select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_canonical": q_edges_canonical,
         "local_cluster": q_local_cluster,
+        "simrank_hosts": q_simrank_hosts,
         "degree_histogram": q_degree_histogram,
         "wedge_count": q_wedge_count,
         "fourcycle_count": q_fourcycle_count,
@@ -3017,6 +3034,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY x.source, y.source
         """,
         "host_pagerank_iter2": _host_pr_sql(iters=2),
+        # SimRank unroll: s0 = identity; each step sums state over ordered
+        # in-neighbor pairs, scales by C/(|I(a)||I(b)|), re-unions the
+        # diagonal. Canonical a<b output — the (b,a) mirror is dropped,
+        # never float-compared.
+        "simrank_hosts": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()}, {_HOST_GRAPH},
+            ind AS (SELECT dst AS v, count(*) AS ind FROM he GROUP BY dst),
+            s0 AS (SELECT vid AS x, vid AS y, 1.0 AS sim FROM hv),
+            t1 AS (
+              SELECT ea.dst AS a, eb.dst AS b, sum(s.sim) AS t
+              FROM he ea JOIN s0 s ON s.x = ea.src
+                         JOIN he eb ON s.y = eb.src
+              WHERE ea.dst <> eb.dst
+              GROUP BY ea.dst, eb.dst
+            ),
+            s1 AS MATERIALIZED (
+              SELECT a AS x, b AS y, 0.8 * t / (ia.ind * ib.ind) AS sim
+              FROM t1 JOIN ind ia ON ia.v = t1.a JOIN ind ib ON ib.v = t1.b
+              UNION ALL
+              SELECT vid, vid, 1.0 FROM hv
+            ),
+            t2 AS (
+              SELECT ea.dst AS a, eb.dst AS b, sum(s.sim) AS t
+              FROM he ea JOIN s1 s ON s.x = ea.src
+                         JOIN he eb ON s.y = eb.src
+              WHERE ea.dst <> eb.dst
+              GROUP BY ea.dst, eb.dst
+            )
+            SELECT a AS host_a, b AS host_b,
+                   round(0.8 * t / (ia.ind * ib.ind), 6) AS sim
+            FROM t2 JOIN ind ia ON ia.v = t2.a JOIN ind ib ON ib.v = t2.b
+            WHERE a < b
+        """,
         "trustrank_iter2": _host_trustrank_sql(iters=2),
         "anti_trustrank_iter2": _host_antitrust_sql(iters=2),
         "spam_mass_hosts": _host_spam_mass_sql(iters=2),
