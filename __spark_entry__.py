@@ -1493,8 +1493,30 @@ def q_simrank_hosts(spark, sf_dir):
     )
 
 
+def q_dag_layers(spark, sf_dir):
+    """Longest-path topological layers of the SCC condensation of the
+    directed doc graph — the 'flow depth' of the web's bow-tie. SCC
+    labels from the engine's own kernel; the layering fixpoint converges
+    in depth supersteps (depth = 2 at oracle scale)."""
+    from tric_spark.operators.condensation import condensation_edges, dag_layers
+    from tric_spark.operators.scc import strongly_connected_components
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid")
+    )
+    directed = doc_edges_directed(spark, sf_dir)
+    labels = strongly_connected_components(directed, verts).withColumnRenamed(
+        "scc", "label"
+    )
+    ce = condensation_edges(directed, labels)
+    comps = labels.select("label").distinct().withColumnRenamed("label", "comp")
+    return dag_layers(ce.select("src", "dst"), comps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dag_layers": q_dag_layers,
         "edges_canonical": q_edges_canonical,
         "local_cluster": q_local_cluster,
         "simrank_hosts": q_simrank_hosts,
@@ -4479,6 +4501,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCC = mutual-reachability classes; label = min member vid. The
         # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        # condensation layering: exact longest path via a recursive CTE
+        # over the (acyclic) quotient graph — the Spark side's monotone
+        # fixpoint converges to the same exact values, so no truncation
+        # sync is needed
+        "dag_layers": f"""
+            WITH RECURSIVE {E}, {DOC_DIRECTED_SQL.strip()},
+            r(a, b) AS (
+              SELECT src, dst FROM dlinks
+              UNION
+              SELECT r.a, d.dst FROM r JOIN dlinks d ON d.src = r.b
+            ),
+            mut AS (
+              SELECT r1.a AS vid, r1.b AS u
+              FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            scc AS (
+              SELECT d.doc_id AS vid,
+                     least(d.doc_id, coalesce(min(m.u), d.doc_id)) AS label
+              FROM documents d LEFT JOIN mut m ON m.vid = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            cedges AS (
+              SELECT DISTINCT sa.label AS src, sb.label AS dst
+              FROM dlinks e
+              JOIN scc sa ON sa.vid = e.src
+              JOIN scc sb ON sb.vid = e.dst
+              WHERE sa.label <> sb.label
+            ),
+            comps AS (SELECT DISTINCT label AS v FROM scc),
+            lp(v, l) AS (
+              SELECT v, 0 FROM comps
+              UNION
+              SELECT c.dst, lp.l + 1 FROM lp JOIN cedges c ON c.src = lp.v
+            )
+            SELECT v AS comp, max(l) AS layer FROM lp GROUP BY v
+        """,
         "scc_labels": f"""
             WITH RECURSIVE {E}, {DOC_DIRECTED_SQL.strip()},
             r(a, b) AS (
