@@ -1514,9 +1514,19 @@ def q_dag_layers(spark, sf_dir):
     return dag_layers(ce.select("src", "dst"), comps)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS robust winnowing (k=4-token grams, w=4 windows): the
+    position-aware overlap fingerprints — any shared 7-token run is
+    guaranteed a shared fingerprint."""
+    from tric_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dag_layers": q_dag_layers,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "edges_canonical": q_edges_canonical,
         "local_cluster": q_local_cluster,
         "simrank_hosts": q_simrank_hosts,
@@ -4501,6 +4511,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCC = mutual-reachability classes; label = min member vid. The
         # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        # winnowing replay: 48-bit md5 gram hashes, forward window min of
+        # struct(h, -pos) = rightmost-tie argmin in one pass (struct
+        # comparison is lexicographic in both engines), full windows only
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(
+                         list_slice(toks, i, i + 3), ' ')), 1, 12))::BIGINT
+                       AS h
+              FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 4
+            ),
+            w AS (
+              SELECT doc_id,
+                     min(struct_pack(h := h, nj := -pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                     count(*) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM g
+            )
+            SELECT DISTINCT doc_id, -(m.nj) AS pos, m.h AS fp
+            FROM w WHERE wn = 4
+        """,
         # condensation layering: exact longest path via a recursive CTE
         # over the (acyclic) quotient graph — the Spark side's monotone
         # fixpoint converges to the same exact values, so no truncation
