@@ -1523,10 +1523,45 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-doc type/token ratio + unigram Shannon entropy (nats) — the
+    boilerplate/template-page detector."""
+    from tric_spark.operators.textstats import lexical_diversity
+
+    r = lexical_diversity(load_table(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def q_daily_retention(spark, sf_dir):
+    """Day-over-day returning-user cohort counts over the event log."""
+    from tric_spark.operators.anomaly import daily_retention
+
+    return daily_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank: the engine's weighted PageRank kernel run on the word
+    co-occurrence graph (window 2), top-20 by 6dp-rounded rank."""
+    from tric_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"), iters=2, k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dag_layers": q_dag_layers,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "lexical_diversity": q_lexical_diversity,
+        "daily_retention": q_daily_retention,
+        "textrank_keywords": q_textrank_keywords,
         "edges_canonical": q_edges_canonical,
         "local_cluster": q_local_cluster,
         "simrank_hosts": q_simrank_hosts,
@@ -4511,6 +4546,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCC = mutual-reachability classes; label = min member vid. The
         # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        # sum(int) is HUGEINT in DuckDB -> ::BIGINT; ln() not log() (lore)
+        "lexical_diversity": """
+            WITH tf AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS token
+                    FROM documents WHERE text IS NOT NULL)
+              GROUP BY doc_id, token
+            )
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   round(count(*) / (1.0 * sum(c)), 6) AS ttr,
+                   round(ln(1.0 * sum(c))
+                         - sum(c * ln(c)) / (1.0 * sum(c)), 6) AS entropy
+            FROM tf GROUP BY doc_id
+        """,
+        "daily_retention": """
+            WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id
+                        FROM events),
+            act AS (SELECT day, count(*)::BIGINT AS n_active
+                    FROM du GROUP BY day),
+            ret AS (SELECT d.day, count(*)::BIGINT AS n_retained
+                    FROM du d JOIN du p
+                      ON p.user_id = d.user_id AND p.day = d.day - 1
+                    GROUP BY d.day)
+            SELECT strftime(a.day, '%Y-%m-%d') AS day,
+                   a.n_active,
+                   coalesce(r.n_retained, 0)::BIGINT AS n_retained,
+                   round(coalesce(r.n_retained, 0) / (1.0 * a.n_active), 6)
+                     AS retention
+            FROM act a LEFT JOIN ret r ON r.day = a.day
+        """,
+        # TextRank = the weighted-PR unroll over the word co-occurrence
+        # graph; top-20 on the ROUNDED rank, ties by word
+        "textrank_keywords": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            bg AS (
+              SELECT toks[i] AS v, toks[i+1] AS w
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            ),
+            wg AS (
+              SELECT least(v, w) AS src, greatest(v, w) AS dst,
+                     CAST(count(*) AS DOUBLE) AS wt
+              FROM bg WHERE v <> w GROUP BY 1, 2
+            ),
+            wsym AS (SELECT src, dst, wt FROM wg
+                     UNION ALL SELECT dst, src, wt FROM wg),
+            wv AS MATERIALIZED (SELECT src AS vid, sum(wt) AS tot
+                                FROM wsym GROUP BY src),
+            nv AS (SELECT count(*) AS n FROM wv),
+            r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank, tot FROM wv),
+            m1 AS (SELECT e.dst AS vid, sum(e.wt * r.rank / r.tot) AS s
+                   FROM wsym e JOIN r0 r ON e.src = r.vid GROUP BY e.dst),
+            r1 AS MATERIALIZED (
+              SELECT v.vid,
+                     0.15/(SELECT n FROM nv) + 0.85*coalesce(m.s, 0) AS rank,
+                     v.tot
+              FROM wv v LEFT JOIN m1 m ON m.vid = v.vid
+            ),
+            m2 AS (SELECT e.dst AS vid, sum(e.wt * r.rank / r.tot) AS s
+                   FROM wsym e JOIN r1 r ON e.src = r.vid GROUP BY e.dst)
+            SELECT v.vid AS word,
+                   round(0.15/(SELECT n FROM nv) + 0.85*coalesce(m.s, 0), 6)
+                     AS rank
+            FROM wv v LEFT JOIN m2 m ON m.vid = v.vid
+            ORDER BY rank DESC, word ASC LIMIT 20
+        """,
         # winnowing replay: 48-bit md5 gram hashes, forward window min of
         # struct(h, -pos) = rightmost-tie argmin in one pass (struct
         # comparison is lexicographic in both engines), full windows only

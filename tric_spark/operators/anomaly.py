@@ -70,3 +70,43 @@ def rate_anomalies(
         z.alias("z"),
         (F.abs(z) >= z_thresh).alias("is_anomaly"),
     )
+
+
+def daily_retention(events: DataFrame) -> DataFrame:
+    """(day, n_active, n_retained, retention) — day-over-day returning
+    users: of the distinct users active on ``day``, how many were also
+    active the previous calendar day. The standard engagement/cohort
+    readout a crawl or serving pipeline computes over its event log.
+
+    Shape: ONE distinct over (day, user) — the only big shuffle — then a
+    self-join of that deduped frame against itself shifted by one day
+    (both sides hash-partitioned on the same (day, user_id) key, so AQE
+    plans a co-partitioned join, no re-shuffle), and per-day counts.
+    ``day`` is emitted as an ISO string so the DuckDB replay compares
+    text, not engine-specific date dtypes. Day 1 of the log reports 0
+    retained (no prior day), not NULL."""
+    du = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .cache()
+    )
+    prev = du.select(
+        F.date_add("day", 1).alias("day"), F.col("user_id")
+    )
+    act = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    ret = (
+        du.join(prev, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        act.join(ret, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_active"), 6
+            ).alias("retention"),
+        )
+    )

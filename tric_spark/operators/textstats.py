@@ -293,3 +293,44 @@ def source_mix_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
         "n_tokens",
         F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("z"), 6).alias("weight"),
     )
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, entropy) — per-document lexical
+    diversity: type/token ratio and unigram Shannon entropy (nats),
+
+        H = ln(n) − (Σ_t c_t·ln(c_t)) / n
+
+    the standard repetition/template-page detector (low entropy at high
+    token count = boilerplate; the corpus-level cousin of the Gopher
+    repetition masses). NULL-text and token-free docs yield no row.
+
+    Scale shape: one explode + ONE groupBy(doc_id, token) with map-side
+    partial counts, then a per-doc aggregate — the tf frame is the same
+    first stage tfidf_topk_terms builds, and everything stays in JVM
+    expressions (ln is natural log in BOTH engines; DuckDB log() is
+    base-10 — engine lore)."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.log("c")).alias("_clc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            (F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+            (F.log("n_tokens") - F.col("_clc") / F.col("n_tokens")).alias(
+                "entropy"
+            ),
+        )
+    )
