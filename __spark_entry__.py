@@ -1555,9 +1555,53 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def q_gap_encoding(spark, sf_dir):
+    """WebGraph-style gap-encoding cost of the directed adjacency — the
+    bits/link a compressed CSR writer would spend (pure-integer bitlen
+    arithmetic, exact replay)."""
+    from tric_spark.operators.compress import gap_encoding_stats
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    return gap_encoding_stats(doc_edges_directed(spark, sf_dir))
+
+
+def q_lang_assortativity(spark, sf_dir):
+    """Categorical homophily of the doc graph by language (Newman 2003
+    attribute assortativity)."""
+    from tric_spark.operators.digraph_stats import attribute_assortativity
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vid"), F.col("lang").alias("label")
+    )
+    return attribute_assortativity(sym, labels)
+
+
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source stratum — the dedup-budget report
+    card."""
+    from tric_spark.operators.dedup import dedup_rate_by
+
+    return dedup_rate_by(load_table(spark, sf_dir, "documents"))
+
+
+def q_double_sweep(spark, sf_dir):
+    """Double-BFS diameter lower bound from vid 0 (the first move of
+    iFUB) — the certified-bound companion to the ANF effective-diameter
+    estimate."""
+    from tric_spark.operators.bfs import double_sweep_bound
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return double_sweep_bound(sym, start_vid=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dag_layers": q_dag_layers,
+        "gap_encoding": q_gap_encoding,
+        "lang_assortativity": q_lang_assortativity,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
+        "double_sweep": q_double_sweep,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
@@ -4546,6 +4590,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCC = mutual-reachability classes; label = min member vid. The
         # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        # bitlen via length(bin(x)) — pure-integer, exact in both engines
+        "gap_encoding": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            g AS (
+              SELECT src, dst,
+                     lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+              FROM dlinks
+            ),
+            b AS (
+              SELECT CASE WHEN prev IS NULL THEN length(bin(dst + 1))
+                          ELSE length(bin(dst - prev)) END AS bits
+              FROM g
+            )
+            SELECT count(*)::BIGINT AS n_links,
+                   (SELECT count(DISTINCT src) FROM dlinks)::BIGINT
+                     AS n_lists,
+                   sum(bits)::BIGINT AS total_bits,
+                   round(sum(bits) / (1.0 * count(*)), 6) AS bits_per_link
+            FROM b
+        """,
+        "lang_assortativity": f"""
+            WITH {E},
+            l AS (SELECT doc_id AS vid, lang FROM documents),
+            e2 AS (
+              SELECT la.lang AS la, lb.lang AS lb
+              FROM sym s JOIN l la ON la.vid = s.src
+                         JOIN l lb ON lb.vid = s.dst
+            ),
+            q AS (SELECT avg(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS q
+                  FROM e2),
+            sh AS (SELECT la, count(*) AS c FROM e2 GROUP BY la),
+            ee AS (SELECT sum(c*c) / (1.0 * sum(c) * sum(c)) AS e FROM sh)
+            SELECT round(q, 6) AS same_frac, round(e, 6) AS expected,
+                   CASE WHEN e < 1.0 THEN round((q - e) / (1 - e), 6) END
+                     AS assortativity
+            FROM q, ee
+        """,
+        "dedup_rate_by_source": """
+            SELECT coalesce(source, '') AS key,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(text))::BIGINT AS n_unique,
+                   round(1 - count(DISTINCT md5(text)) / (1.0 * count(*)), 6)
+                     AS dup_rate
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
+        # two bounded recursive BFS closures; min(d) per vid is the hop
+        # distance, pivot tie-break (dist DESC, vid ASC) matches Spark
+        "double_sweep": f"""
+            WITH RECURSIVE {E},
+            b1(vid, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.dst, b1.d + 1 FROM b1 JOIN sym s ON s.src = b1.vid
+              WHERE b1.d < 64
+            ),
+            d1 AS (SELECT vid, min(d) AS dist FROM b1 GROUP BY vid),
+            farv AS (SELECT vid FROM d1 ORDER BY dist DESC, vid ASC LIMIT 1),
+            b2(vid, d) AS (
+              SELECT vid, 0 FROM farv
+              UNION
+              SELECT s.dst, b2.d + 1 FROM b2 JOIN sym s ON s.src = b2.vid
+              WHERE b2.d < 64
+            ),
+            d2 AS (SELECT vid, min(d) AS dist FROM b2 GROUP BY vid)
+            SELECT 0 AS start_vid, (SELECT vid FROM farv) AS far_vid,
+                   max(dist) AS diameter_lb
+            FROM d2
+        """,
         # sum(int) is HUGEINT in DuckDB -> ::BIGINT; ln() not log() (lore)
         "lexical_diversity": """
             WITH tf AS (

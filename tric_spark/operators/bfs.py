@@ -40,3 +40,30 @@ def bfs_distances(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def double_sweep_bound(sym_edges: DataFrame, start_vid: int = 0) -> DataFrame:
+    """One row (start_vid, far_vid, diameter_lb) — the classic double-BFS
+    diameter lower bound (the first move of iFUB, Crescenzi et al.): BFS
+    from ``start_vid``, hop to the farthest reached vertex (ties: min
+    vid), BFS again; the second eccentricity is a lower bound on the
+    diameter of start's component, and on trees/many real graphs it is
+    exact. The companion to the ANF/effective-diameter sketch: that one
+    estimates the distribution, this one certifies a hard bound.
+
+    The pivot pick is a 1-row scalar collect between the two BFS runs
+    (documented driver action, same class as a convergence check)."""
+    spark = sym_edges.sparkSession
+    src = spark.createDataFrame([(start_vid,)], "vid long")
+    d1 = bfs_distances(sym_edges, src)
+    far = d1.orderBy(F.col("dist").desc(), F.col("vid").asc()).limit(1).collect()[0]
+    src2 = spark.createDataFrame([(int(far["vid"]),)], "vid long")
+    d2 = bfs_distances(sym_edges, src2)
+    return (
+        d2.agg(F.max("dist").alias("diameter_lb"))
+        .select(
+            F.lit(start_vid).alias("start_vid"),
+            F.lit(int(far["vid"])).alias("far_vid"),
+            "diameter_lb",
+        )
+    )

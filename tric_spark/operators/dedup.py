@@ -403,3 +403,33 @@ def ngram_containment_pairs(
             ),
         )
     )
+
+
+def dedup_rate_by(docs: DataFrame, key_col: str = "source") -> DataFrame:
+    """(key, n_docs, n_unique, dup_rate) — exact-duplicate rate per
+    corpus stratum (host/source/lang): the per-provenance report card a
+    crawl pipeline reads before deciding where to spend dedup budget
+    (real crawls run 25–30% exact dups, concentrated in few hosts).
+
+    NULL-text docs are excluded from BOTH counts (they are not
+    "duplicates of each other" — the same rule the dedup APIs apply);
+    uniqueness is md5-of-text within the stratum. Shape: ONE groupBy with
+    a distinct-count aggregate (map-side partial) — no joins."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.coalesce(F.col(key_col), F.lit("")).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.md5(F.col("text").cast("binary"))).alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            "key",
+            "n_docs",
+            "n_unique",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )

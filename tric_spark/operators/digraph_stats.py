@@ -147,3 +147,50 @@ def rich_club(canon_edges: DataFrame, degrees: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def attribute_assortativity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (same_frac, expected, assortativity): categorical
+    (attribute) assortativity — Newman 2003 eq. 2,
+
+        r = (q − e) / (1 − e)
+
+    where q = fraction of edges whose endpoints share the label and
+    e = Σ_l a_l·b_l the same fraction expected if edges were rewired
+    preserving the label mix of edge ENDPOINTS (a_l = b_l on an
+    undirected graph: the degree-weighted label share). The homophily
+    readout for web corpora: do pages link within their own language/
+    host/topic? r = 1 is perfect mixing by label, 0 is random, < 0
+    disassortative.
+
+    ``sym_edges`` carries both orientations; ``labels`` is (vid, label)
+    TOTAL over the graph's vertices. Shape: two vid joins (the modularity
+    pattern) + three 1-row broadcast aggregates; endpoint shares come
+    from ONE groupBy over the sym rows (each undirected edge contributes
+    each endpoint once as src)."""
+    la = labels.select(F.col("vid").alias("src"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("vid").alias("dst"), F.col("label").alias("_lb"))
+    e = sym_edges.select("src", "dst").join(la, "src").join(lb, "dst")
+    q = e.agg(
+        F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("_q")
+    )
+    shares = (
+        e.groupBy("_la")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            (
+                F.sum(F.col("_c") * F.col("_c"))
+                / (F.sum("_c") * F.sum("_c"))
+            ).alias("_e")
+        )
+    )
+    return q.crossJoin(F.broadcast(shares)).select(
+        F.round("_q", 6).alias("same_frac"),
+        F.round("_e", 6).alias("expected"),
+        # single-label graphs have e = 1: r is undefined (NULL), and the
+        # guard keeps ANSI mode from throwing on the 0 divisor
+        F.when(
+            F.col("_e") < 1.0,
+            F.round((F.col("_q") - F.col("_e")) / (1 - F.col("_e")), 6),
+        ).alias("assortativity"),
+    )
