@@ -26,6 +26,8 @@ from tric_spark.operators import dedup, similarity, tc, textstats
 from tric_spark.operators.cc import connected_components
 from tric_spark.operators.lp import label_propagation
 from tric_spark.operators.pagerank import pagerank
+from tric_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+from tric_spark.operators.urlnorm import CANON_SQL_STAGES
 from tric_spark.sources.doc_graph import DOC_DIRECTED_SQL, DOC_EDGES_SQL, doc_edges
 from tric_spark.sources.tables import load_table
 
@@ -1595,9 +1597,80 @@ def q_double_sweep(spark, sf_dir):
     return double_sweep_bound(sym, start_vid=0)
 
 
+def _dirty_text():
+    """Deterministic PII-bearing text: the driver corpus is clean word
+    salad, so (like the RGG/R-MAT generators) the fixture injects the
+    signal IN-QUERY with arithmetic both engines replay bit-for-bit."""
+    r = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        r.cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (r % 200 + 1).cast("string"),
+        F.lit(".0."),
+        (r % 250).cast("string"),
+        F.when(
+            r % 3 == 0,
+            F.concat(
+                F.lit(" call 555-01"), F.lpad((r % 100).cast("string"), 2, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scan(spark, sf_dir):
+    """Email/IPv4/phone counts + md5 of the redacted text per doc — the
+    scrub pass, certified byte-for-byte through the masked hash."""
+    from tric_spark.operators.pii import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return pii_scan(docs.select("doc_id", _dirty_text().alias("text")))
+
+
+def _messy_url():
+    """Deterministic messy URL per doc: scheme/host case, www., default
+    ports, dup + trailing slashes, tracking params, unsorted params,
+    fragments — every normalization canonical_url performs is exercised."""
+    r = F.col("doc_id")
+    s = F.coalesce(F.col("source"), F.lit("x"))
+    return F.concat(
+        F.when(r % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(r % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(r % 5 == 0, F.upper(s)).otherwise(s),
+        F.lit(".Example.COM"),
+        F.when(
+            r % 4 == 0,
+            F.when(r % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (r % 25).cast("string"),
+        F.when(r % 6 == 0, F.lit("//")).otherwise(F.lit("")),
+        F.when(r % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            r % 2 == 0,
+            F.concat(F.lit("?id="), (r % 10).cast("string"), F.lit("&utm_campaign=c")),
+        ).otherwise(F.concat(F.lit("?ref=x&id="), (r % 10).cast("string"))),
+        F.when(r % 11 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Canonical-URL dedup stats over deterministically mangled URLs —
+    (canon_url, n_urls, n_raw_variants)."""
+    from tric_spark.operators.urlnorm import url_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup_stats(docs.select(_messy_url().alias("url")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dag_layers": q_dag_layers,
+        "pii_scan": q_pii_scan,
+        "url_canonicalize": q_url_canonicalize,
         "gap_encoding": q_gap_encoding,
         "lang_assortativity": q_lang_assortativity,
         "dedup_rate_by_source": q_dedup_rate_by_source,
@@ -4590,6 +4663,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCC = mutual-reachability classes; label = min member vid. The
         # closure r is O(n·reach) pairs — oracle-scale only (n=500).
+        # regexes are Java/RE2-portable by construction (pii.py); masked
+        # md5 certifies the redaction byte-for-byte
+        "pii_scan": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                       || '@mail.example.com from 10.'
+                       || (doc_id % 200 + 1)::VARCHAR || '.0.'
+                       || (doc_id % 250)::VARCHAR
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' call 555-01'
+                                 || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                               ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT
+                     AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{IPV4_RE}', '[IP]', 'g'),
+                       '{PHONE_RE}', '[PHONE]', 'g')) AS clean_md5
+            FROM d
+        """,
+        # stage-for-stage twin of canonical_url lives in urlnorm.py
+        # (CANON_SQL_STAGES) so the implementations cannot drift apart
+        "url_canonicalize": f"""
+            WITH murls AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                          ELSE 'http://' END
+                  || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN upper(coalesce(source, 'x'))
+                          ELSE coalesce(source, 'x') END
+                  || '.Example.COM'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN CASE WHEN doc_id % 2 = 0 THEN ':443'
+                                    ELSE ':80' END
+                          ELSE '' END
+                  || '/p/' || (doc_id % 25)::VARCHAR
+                  || CASE WHEN doc_id % 6 = 0 THEN '//' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN '?id=' || (doc_id % 10)::VARCHAR
+                            || '&utm_campaign=c'
+                          ELSE '?ref=x&id=' || (doc_id % 10)::VARCHAR END
+                  || CASE WHEN doc_id % 11 = 0 THEN '#s' ELSE '' END
+                     AS url
+              FROM documents
+            ),
+            {CANON_SQL_STAGES.strip()}
+            SELECT canon_url, count(*)::BIGINT AS n_urls,
+                   count(DISTINCT url)::BIGINT AS n_raw_variants
+            FROM canon GROUP BY 1
+        """,
         # bitlen via length(bin(x)) — pure-integer, exact in both engines
         "gap_encoding": f"""
             WITH {E}, {DOC_DIRECTED_SQL.strip()},

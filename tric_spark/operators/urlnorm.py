@@ -1,0 +1,120 @@
+"""URL canonicalization — the crawl-store staple that collapses the
+many spellings of one resource before dedup / frontier scheduling.
+[engine-ops family: crawl hygiene; consumed by dedup-by-canonical-URL]
+
+Normalizations applied (the conservative, semantics-preserving set every
+crawler runs; cf. RFC 3986 §6 syntax-based normalization):
+
+- drop the fragment (``#...`` — client-side only),
+- lowercase the scheme and host (case-insensitive per RFC),
+- strip a leading ``www.`` label,
+- strip the scheme's default port (``:80`` http / ``:443`` https),
+- collapse duplicate slashes in the path and strip trailing slashes
+  (empty path → ``/``),
+- drop tracking query params (``utm_*``, ``fbclid``, ``gclid``), sort
+  the survivors, drop an empty query entirely.
+
+Everything is JVM string/regexp expressions (codegen, map-only — no
+shuffle), and every regexp is Java/RE2-portable so the DuckDB oracle
+replays the pipeline verbatim; the SQL twin of each stage lives in
+``CANON_SQL_STAGES`` right next to the Column builder so they cannot
+drift apart silently. Userinfo (``user@host``) and percent-encoding
+normalization are out of scope (absent from crawl frontiers in
+practice; documented limitation).
+
+Not in the reference (tric consumes a prebuilt id graph); this is the
+step that PRODUCES clean vertex keys for ``assign_vertex_ids``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` (see module docstring for the rule
+    set). Scheme-less inputs are treated as http."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    raw_scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    scheme = F.when(raw_scheme == "", F.lit("http")).otherwise(raw_scheme)
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, r"^[^/?]*", 0))
+    tail = rest.substr(F.length(auth) + 1, F.length(rest))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(F.regexp_replace(host, r":443$", ""))
+    path = F.regexp_extract(tail, r"^[^?]*", 0)
+    path = F.regexp_replace(F.regexp_replace(path, r"/{2,}", "/"), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+
+
+# --- DuckDB twin -----------------------------------------------------------
+# Stage-for-stage SQL replay of canonical_url, parameterized by the CTE
+# that provides (doc_id, url). oracle_sql() composes this; keeping it
+# here (not in __spark_entry__) pins the twins together.
+CANON_SQL_STAGES = """
+  cs1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM murls),
+  cs2 AS (SELECT doc_id, url, u,
+            CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                 THEN 'http'
+                 ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            END AS scheme,
+            regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM cs1),
+  cs3 AS (SELECT *, lower(regexp_extract(rest, '^[^/?]*')) AS auth,
+            substr(rest, length(regexp_extract(rest, '^[^/?]*')) + 1) AS tail
+          FROM cs2),
+  cs4 AS (SELECT *,
+            CASE WHEN scheme = 'http'
+                 THEN regexp_replace(regexp_replace(auth, '^www\\.', ''), ':80$', '')
+                 ELSE regexp_replace(regexp_replace(auth, '^www\\.', ''), ':443$', '')
+            END AS host,
+            CASE WHEN regexp_replace(regexp_replace(regexp_extract(tail, '^[^?]*'),
+                        '/{2,}', '/', 'g'), '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(regexp_replace(regexp_extract(tail, '^[^?]*'),
+                        '/{2,}', '/', 'g'), '/+$', '')
+            END AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(tail, '\\?(.*)$', 1), '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')
+            )), '&') AS qcanon
+          FROM cs3),
+  canon AS (SELECT doc_id, url,
+              scheme || '://' || host || path ||
+                CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS canon_url
+            FROM cs4)
+"""
+
+
+def url_dedup_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canon_url, n_urls, n_raw_variants) — how many rows and how many
+    DISTINCT raw spellings each canonical resource absorbed. One groupBy
+    (map-side partial); the dedup-budget readout for a crawl frontier."""
+    return (
+        df.withColumn("_canon", canonical_url(F.col(url_col)))
+        .groupBy(F.col("_canon").alias("canon_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col(url_col)).alias("n_raw_variants"),
+        )
+    )
