@@ -218,6 +218,21 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Delta CC: label the graph WITHOUT every 5th canonical edge, then
+    fold those edges back in incrementally (label-graph contraction).
+    The oracle is the from-scratch full-graph labeling — the incremental
+    path must reproduce the recompute bit-for-bit."""
+    from tric_spark.operators.cc import cc_incremental
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    keep = (F.col("src") + F.col("dst")) % 5 != 0
+    old_canon = canon.filter(keep)
+    new_canon = canon.filter(~keep)
+    prev = connected_components(graph.symmetrize(old_canon), verts)
+    return cc_incremental(prev, new_canon)
+
+
 def q_cc_star(spark, sf_dir):
     from tric_spark.operators.cc import cc_star
 
@@ -758,6 +773,32 @@ def q_crawl_frontier(spark, sf_dir):
         F.col("doc_id").alias("vid"), F.col("source").alias("host")
     )
     return frontier_topk_per_host(scores, host_map, k=5)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """The q_crawl_frontier scores laid into per-host politeness fetch
+    waves (rate=3 fetches/host/round) — slot + wave per frontier URL."""
+    from tric_spark.operators.frontier import (
+        frontier_scores,
+        politeness_schedule,
+    )
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    docs = load_table(spark, sf_dir, "documents")
+    directed = doc_edges_directed(spark, sf_dir)
+    crawled = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("vid")
+    )
+    e_c = directed.join(crawled.withColumnRenamed("vid", "src"), "src")
+    induced = e_c.join(crawled.withColumnRenamed("vid", "dst"), "dst").select(
+        "src", "dst"
+    )
+    pr = pagerank(induced, crawled, tol=0.0, max_iter=2)
+    scores = frontier_scores(directed, crawled, pr)
+    host_map = docs.select(
+        F.col("doc_id").alias("vid"), F.col("source").alias("host")
+    )
+    return politeness_schedule(scores, host_map, per_host_rate=3)
 
 
 def q_mst_forest(spark, sf_dir):
@@ -1718,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_hashmin_step1": q_cc_hashmin_step1,
         "bfs_from_0": q_bfs_from_0,
         "cc_converged": q_cc_converged,
+        "cc_incremental": q_cc_incremental,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -1767,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_trustrank_iter2": q_anti_trustrank_iter2,
         "spam_mass_hosts": q_spam_mass_hosts,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_schedule": q_crawl_schedule,
         "betweenness": q_betweenness,
         "harmonic_closeness": q_harmonic_closeness,
         "lp_modularity": q_lp_modularity,
@@ -2741,11 +2784,10 @@ def _betweenness_sql(max_depth: int = 10, mod: int = 41) -> str:
     )
 
 
-def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
-    """Unrolled crawled-subgraph PageRank + frontier mass aggregation +
-    per-host top-k — mirrors q_crawl_frontier: PR over the crawled-induced
-    subgraph (induced out-degrees, uniform dangling fold), frontier score
-    over FULL out-degrees, window ordered by the 6dp-rounded score."""
+def _frontier_score_ctes(iters: int = 2) -> list:
+    """Shared unroll for the frontier-family oracles: crawled-subgraph
+    PageRank (induced out-degrees, uniform dangling fold) + frontier mass
+    aggregation over FULL out-degrees, through the ``fr`` CTE."""
     ctes = [
         "cr AS MATERIALIZED"
         " (SELECT doc_id AS vid FROM documents WHERE doc_id % 7 <> 0)",
@@ -2784,6 +2826,13 @@ def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
         f" JOIN odeg o ON o.src = e.src"
         f" WHERE e.dst NOT IN (SELECT vid FROM cr) GROUP BY e.dst)"
     )
+    return ctes
+
+
+def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
+    """Mirrors q_crawl_frontier: per-host top-k over the 6dp-rounded
+    frontier score (vid tiebreak)."""
+    ctes = _frontier_score_ctes(iters)
     ctes.append(
         "sc AS (SELECT d.source AS host, f.vid, round(f.score, 6) AS score,"
         " f.n_inlinks, row_number() OVER (PARTITION BY d.source"
@@ -2793,6 +2842,23 @@ def _crawl_frontier_sql(iters: int = 2, k: int = 5) -> str:
     return (
         f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
         f" SELECT host, vid, score, n_inlinks, rnk FROM sc WHERE rnk <= {k}"
+    )
+
+
+def _crawl_schedule_sql(iters: int = 2, rate: int = 3) -> str:
+    """Mirrors q_crawl_schedule: the FULL frontier laid into per-host
+    politeness waves — slot = per-host rank, wave = ceil(slot/rate)."""
+    ctes = _frontier_score_ctes(iters)
+    ctes.append(
+        "sc AS (SELECT d.source AS host, f.vid, round(f.score, 6) AS score,"
+        " row_number() OVER (PARTITION BY d.source"
+        " ORDER BY round(f.score, 6) DESC, f.vid) AS slot"
+        " FROM fr f JOIN documents d ON d.doc_id = f.vid)"
+    )
+    return (
+        f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
+        f" SELECT host, vid, score, slot::BIGINT AS slot,"
+        f" CAST(ceil(slot / {rate}.0) AS BIGINT) AS wave FROM sc"
     )
 
 
@@ -3255,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_trustrank_iter2": _host_antitrust_sql(iters=2),
         "spam_mass_hosts": _host_spam_mass_sql(iters=2),
         "crawl_frontier": _crawl_frontier_sql(iters=2, k=5),
+        "crawl_schedule": _crawl_schedule_sql(iters=2, rate=3),
         "betweenness": _betweenness_sql(max_depth=10, mod=41),
         "harmonic_closeness": _closeness_sql(max_depth=10, mod=41),
         "mis": _mis_sql(rounds=8, seed=42),
@@ -3611,6 +3678,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, min(d) AS dist FROM r GROUP BY vid
         """,
         "cc_converged": f"""
+            WITH RECURSIVE {E},
+            r(vid, x) AS (
+              SELECT vid, vid FROM deg
+              UNION
+              SELECT s.dst, r.x FROM sym s JOIN r ON r.vid = s.src
+            )
+            SELECT vid, min(x) AS comp FROM r GROUP BY vid
+        """,
+        # the incremental path must equal the from-scratch labeling —
+        # the oracle IS the full-graph recompute
+        "cc_incremental": f"""
             WITH RECURSIVE {E},
             r(vid, x) AS (
               SELECT vid, vid FROM deg

@@ -96,3 +96,28 @@ def test_empty_frontier(spark):
     e = _edges(spark, [(0, 1), (1, 0)])
     out = frontier_scores(e, _vids(spark, [0, 1]), _ranks(spark, {0: 0.5, 1: 0.5}))
     assert out.count() == 0
+
+
+def test_politeness_schedule(spark):
+    from tric_spark.operators.frontier import politeness_schedule
+
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5), (3, 0.9), (4, 0.1), (5, 0.7)],
+        "vid long, score double",
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b")],
+        "vid long, host string",
+    )
+    got = {
+        r["vid"]: (r["host"], r["slot"], r["wave"])
+        for r in politeness_schedule(scores, hosts, per_host_rate=2).collect()
+    }
+    # host a order: 3 (.9), 1 (.5, vid tiebreak), 2 (.5), 4 (.1)
+    assert got == {
+        3: ("a", 1, 1),
+        1: ("a", 2, 1),
+        2: ("a", 3, 2),
+        4: ("a", 4, 2),
+        5: ("b", 1, 1),
+    }

@@ -85,3 +85,31 @@ def frontier_topk_per_host(
         s.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def politeness_schedule(
+    scores: DataFrame,
+    host_map: DataFrame,
+    per_host_rate: int = 3,
+) -> DataFrame:
+    """(host, vid, score, slot, wave) — the full frontier laid out into
+    per-host fetch WAVES under a politeness budget of ``per_host_rate``
+    fetches per host per wave: slot = rank of the URL within its host
+    (6dp-rounded score desc, vid tiebreak — the portable total order),
+    wave = ceil(slot / rate). Wave w is exactly "everything a polite
+    crawler may fetch in round w"; max(wave) is the crawl's makespan in
+    politeness rounds, dominated by the deepest host queue.
+
+    Scale shape: one window over (host) — the same single exchange as
+    the top-k variant, but emitting every row with its round number
+    instead of truncating at k."""
+    s = scores.join(host_map.select("vid", "host"), "vid").select(
+        "host", "vid", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("vid").asc()
+    )
+    slot = F.row_number().over(w).cast("long")
+    return s.withColumn("slot", slot).withColumn(
+        "wave", F.ceil(F.col("slot") / F.lit(float(per_host_rate))).cast("long")
+    )
