@@ -218,6 +218,18 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_hitting_times(spark, sf_dir):
+    """6-step truncated expected hitting time to the seed set
+    vid % 97 == 0 (absorbing-walk value iteration), 6dp-rounded."""
+    from tric_spark.operators.hittime import hitting_times
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    t = verts.filter(F.col("vid") % 97 == 0)
+    return hitting_times(sym, t, iters=6).select(
+        "vid", F.round("h", 6).alias("h")
+    )
+
+
 def q_cc_incremental(spark, sf_dir):
     """Delta CC: label the graph WITHOUT every 5th canonical edge, then
     fold those edges back in incrementally (label-graph contraction).
@@ -1760,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_from_0": q_bfs_from_0,
         "cc_converged": q_cc_converged,
         "cc_incremental": q_cc_incremental,
+        "hitting_times": q_hitting_times,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -2862,6 +2875,24 @@ def _crawl_schedule_sql(iters: int = 2, rate: int = 3) -> str:
     )
 
 
+def _hitting_sql(iters: int = 6, mod: int = 97) -> str:
+    """Unrolled truncated hitting-time value iteration (hittime.py):
+    h^{{t+1}} = 0 on targets else 1 + avg over neighbors of h^t."""
+    ctes = ["t0 AS MATERIALIZED (SELECT vid, 0.0 AS h FROM deg)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT d.vid,"
+            f" CASE WHEN d.vid % {mod} = 0 THEN 0.0 ELSE 1 + m.a END AS h"
+            f" FROM deg d JOIN (SELECT s.src AS vid, avg(r.h) AS a"
+            f" FROM sym s JOIN t{i - 1} r ON r.vid = s.dst GROUP BY s.src) m"
+            f" ON m.vid = d.vid)"
+        )
+    return (
+        f"WITH {E}, " + ", ".join(ctes)
+        + f" SELECT vid, round(h, 6) AS h FROM t{iters}"
+    )
+
+
 def _walks_ctes(num_steps: int = 4, seed: int = 42) -> tuple[list, str]:
     """Shared unroll for the walk-family oracles: every hop of
     operators/walks.py::random_walks replayed (sorted adjacency lists,
@@ -3686,6 +3717,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vid, min(x) AS comp FROM r GROUP BY vid
         """,
+        "hitting_times": _hitting_sql(iters=6, mod=97),
         # the incremental path must equal the from-scratch labeling —
         # the oracle IS the full-graph recompute
         "cc_incremental": f"""
