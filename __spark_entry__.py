@@ -218,6 +218,15 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_louvain2(spark, sf_dir):
+    """Two synchronous Louvain move rounds (alternating-parity activity,
+    integer 2m-scaled gains — the oracle replays rounds exactly)."""
+    from tric_spark.operators.louvain import louvain_move
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return louvain_move(sym, rounds=2)
+
+
 def q_hitting_times(spark, sf_dir):
     """6-step truncated expected hitting time to the seed set
     vid % 97 == 0 (absorbing-walk value iteration), 6dp-rounded."""
@@ -1773,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged": q_cc_converged,
         "cc_incremental": q_cc_incremental,
         "hitting_times": q_hitting_times,
+        "louvain2": q_louvain2,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -2875,6 +2885,59 @@ def _crawl_schedule_sql(iters: int = 2, rate: int = 3) -> str:
     )
 
 
+def _louvain_sql(rounds: int = 2) -> str:
+    """Round-for-round replay of louvain.py::louvain_move — all-integer
+    scoring (2m-scaled gain), alternating-parity activity, Grappolo
+    singleton guard, (score2 desc, c asc) argmax."""
+    ctes = [
+        "m2 AS (SELECT count(*) AS v FROM sym)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS c, degree AS k FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"comm{r} AS MATERIALIZED (SELECT c, sum(k) AS tot,"
+            f" count(*) AS csize FROM l{p} GROUP BY c)"
+        )
+        ctes.append(
+            f"kvc{r} AS MATERIALIZED (SELECT s.src AS vid, l.c,"
+            f" count(*) AS kvc FROM sym s JOIN l{p} l ON l.vid = s.dst"
+            f" WHERE (s.src + {r}) % 2 = 0 GROUP BY s.src, l.c)"
+        )
+        ctes.append(
+            f"cand{r} AS (SELECT vid, c, max(kvc) AS kvc FROM ("
+            f"SELECT vid, c, kvc FROM kvc{r}"
+            f" UNION ALL SELECT vid, c, 0 FROM l{p} WHERE (vid + {r}) % 2 = 0)"
+            f" GROUP BY vid, c)"
+        )
+        ctes.append(
+            f"sc{r} AS (SELECT d.vid, d.c,"
+            f" (SELECT v FROM m2)*d.kvc - l.k*(co.tot"
+            f" - CASE WHEN d.c = l.c THEN l.k ELSE 0 END) AS score2,"
+            f" l.c AS cur, co.csize, cu.csize AS cur_size"
+            f" FROM cand{r} d JOIN l{p} l ON l.vid = d.vid"
+            f" JOIN comm{r} co ON co.c = d.c"
+            f" JOIN comm{r} cu ON cu.c = l.c)"
+        )
+        ctes.append(
+            f"mv{r} AS (SELECT vid, c FROM ("
+            f"SELECT vid, c, row_number() OVER (PARTITION BY vid"
+            f" ORDER BY score2 DESC, c ASC) AS rn FROM sc{r}"
+            f" WHERE NOT (cur_size = 1 AND csize = 1 AND c > cur))"
+            f" WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT m.vid, m.c, d.degree AS k"
+            f" FROM mv{r} m JOIN deg d ON d.vid = m.vid"
+            f" UNION ALL SELECT vid, c, k FROM l{p}"
+            f" WHERE (vid + {r}) % 2 <> 0)"
+        )
+    return (
+        f"WITH {E}, " + ", ".join(ctes)
+        + f" SELECT vid, c AS community FROM l{rounds}"
+    )
+
+
 def _hitting_sql(iters: int = 6, mod: int = 97) -> str:
     """Unrolled truncated hitting-time value iteration (hittime.py):
     h^{{t+1}} = 0 on targets else 1 + avg over neighbors of h^t."""
@@ -3718,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, min(x) AS comp FROM r GROUP BY vid
         """,
         "hitting_times": _hitting_sql(iters=6, mod=97),
+        "louvain2": _louvain_sql(rounds=2),
         # the incremental path must equal the from-scratch labeling —
         # the oracle IS the full-graph recompute
         "cc_incremental": f"""
