@@ -227,6 +227,15 @@ def q_louvain2(spark, sf_dir):
     return louvain_move(sym, rounds=2)
 
 
+def q_louvain_graph(spark, sf_dir):
+    """Phase-2 coarsening: the weighted community graph after the two
+    louvain2 move rounds (self-loops carry the internal mass)."""
+    from tric_spark.operators.louvain import louvain_aggregate, louvain_move
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return louvain_aggregate(sym, louvain_move(sym, rounds=2))
+
+
 def q_hitting_times(spark, sf_dir):
     """6-step truncated expected hitting time to the seed set
     vid % 97 == 0 (absorbing-walk value iteration), 6dp-rounded."""
@@ -1783,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "hitting_times": q_hitting_times,
         "louvain2": q_louvain2,
+        "louvain_graph": q_louvain_graph,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -2885,10 +2895,11 @@ def _crawl_schedule_sql(iters: int = 2, rate: int = 3) -> str:
     )
 
 
-def _louvain_sql(rounds: int = 2) -> str:
+def _louvain_sql(rounds: int = 2, aggregate: bool = False) -> str:
     """Round-for-round replay of louvain.py::louvain_move — all-integer
     scoring (2m-scaled gain), alternating-parity activity, Grappolo
-    singleton guard, (score2 desc, c asc) argmax."""
+    singleton guard, (score2 desc, c asc) argmax. ``aggregate``: emit
+    the phase-2 community-graph rollup instead of the labels."""
     ctes = [
         "m2 AS (SELECT count(*) AS v FROM sym)",
         "l0 AS MATERIALIZED (SELECT vid, vid AS c, degree AS k FROM deg)",
@@ -2932,10 +2943,14 @@ def _louvain_sql(rounds: int = 2) -> str:
             f" UNION ALL SELECT vid, c, k FROM l{p}"
             f" WHERE (vid + {r}) % 2 <> 0)"
         )
-    return (
-        f"WITH {E}, " + ", ".join(ctes)
-        + f" SELECT vid, c AS community FROM l{rounds}"
+    final = (
+        f"SELECT vid, c AS community FROM l{rounds}"
+        if not aggregate
+        else f"SELECT la.c AS src_c, lb.c AS dst_c, count(*)::BIGINT AS weight"
+        f" FROM sym s JOIN l{rounds} la ON la.vid = s.src"
+        f" JOIN l{rounds} lb ON lb.vid = s.dst GROUP BY la.c, lb.c"
     )
+    return f"WITH {E}, " + ", ".join(ctes) + " " + final
 
 
 def _hitting_sql(iters: int = 6, mod: int = 97) -> str:
@@ -3782,6 +3797,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hitting_times": _hitting_sql(iters=6, mod=97),
         "louvain2": _louvain_sql(rounds=2),
+        "louvain_graph": _louvain_sql(rounds=2, aggregate=True),
         # the incremental path must equal the from-scratch labeling —
         # the oracle IS the full-graph recompute
         "cc_incremental": f"""

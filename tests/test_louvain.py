@@ -80,3 +80,20 @@ def test_more_rounds_is_stable(spark):
     got3 = _spark_lab(spark, TWO_TRI, 3)
     got6 = _spark_lab(spark, TWO_TRI, 6)
     assert got3 == got6
+
+
+def test_aggregate_community_graph(spark):
+    from pyspark.sql import functions as F
+
+    from tric_spark.operators.louvain import louvain_aggregate
+
+    sym = graph.symmetrize(graph.canonical_edges(edges_df(spark, TWO_TRI)))
+    lab = spark.createDataFrame(
+        [(v, 0 if v < 3 else 3) for v in range(6)], "vid long, community long"
+    )
+    got = {
+        (r["src_c"], r["dst_c"]): r["weight"]
+        for r in louvain_aggregate(sym, lab).collect()
+    }
+    # 3 intra undirected edges per triangle = 6 sym rows on the self-loop
+    assert got == {(0, 0): 6, (3, 3): 6, (0, 3): 1, (3, 0): 1}

@@ -129,3 +129,31 @@ def louvain_move(
         lab = checkpoint_cut(nxt)
 
     return lab.select("vid", F.col("c").alias("community"))
+
+
+def louvain_aggregate(
+    sym_edges: DataFrame,
+    labels: DataFrame,
+) -> DataFrame:
+    """Phase-2 rollup (Blondel et al. §2): collapse each community to a
+    super-vertex and return the WEIGHTED community graph
+    ``(src_c, dst_c, weight)`` — weight = number of original directed
+    (sym) edge rows between the two communities, so an undirected
+    inter-community edge appears in both orientations with equal weight
+    and intra-community mass lands on the self-loop row (src_c = dst_c,
+    weight = 2× the internal undirected edge count — exactly the
+    convention the next-level weighted move phase needs).
+
+    ``labels``: (vid, community). Shape: two vid joins + ONE groupBy on
+    the (src_c, dst_c) pair — the standard coarsening shuffle; the
+    output is bounded by the community count squared but in practice by
+    the original edge count."""
+    la = labels.select(F.col("vid").alias("src"), F.col("community").alias("src_c"))
+    lb = labels.select(F.col("vid").alias("dst"), F.col("community").alias("dst_c"))
+    return (
+        sym_edges.select("src", "dst")
+        .join(la, "src")
+        .join(lb, "dst")
+        .groupBy("src_c", "dst_c")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
