@@ -218,6 +218,25 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_pq_codes(spark, sf_dir):
+    """PQ encode of the embeddings table: 8 subspaces × 16 deterministic
+    codewords (first-16-by-id donors). Long form (vec_id, sub, code) —
+    the driver compare hashes scalars, not arrays; pq.pq_codes packs."""
+    from tric_spark.operators.pq import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"), n_sub=8, ks=16)
+
+
+def q_pq_search(spark, sf_dir):
+    """ADC top-5 for queries vec_id % 50 == 0 over the PQ codes."""
+    from tric_spark.operators.pq import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_search(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_sub=8, ks=16
+    )
+
+
 def q_louvain2(spark, sf_dir):
     """Two synchronous Louvain move rounds (alternating-parity activity,
     integer 2m-scaled gains — the oracle replays rounds exactly)."""
@@ -1793,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_times": q_hitting_times,
         "louvain2": q_louvain2,
         "louvain_graph": q_louvain_graph,
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -2953,6 +2974,58 @@ def _louvain_sql(rounds: int = 2, aggregate: bool = False) -> str:
     return f"WITH {E}, " + ", ".join(ctes) + " " + final
 
 
+def _pq_sql(final: str, n_sub: int = 8, ks: int = 16, qmod: int = 50, k: int = 5) -> str:
+    """Replay of operators/pq.py: deterministic first-ks codebook,
+    textually-expanded per-subspace squared distances (::DOUBLE casts
+    match Spark's cast-then-subtract; left-assoc + matches F.aggregate's
+    fold order bit-for-bit), 6dp rounding before every argmin/sum."""
+    dims_row = 64  # embeddings table width (TESTDATA.md)
+    sub = dims_row // n_sub
+
+    def d2(lhs: str, s: int) -> str:
+        terms = " + ".join(
+            f"({lhs}[{s * sub + t}]::DOUBLE - c.dv[{s * sub + t}]::DOUBLE)"
+            f"*({lhs}[{s * sub + t}]::DOUBLE - c.dv[{s * sub + t}]::DOUBLE)"
+            for t in range(1, sub + 1)
+        )
+        return f"round({terms}, 6)"
+
+    dist_union = " UNION ALL ".join(
+        f"SELECT e.vec_id, c.j, {s} AS sub, {d2('e.embedding', s)} AS d"
+        f" FROM embeddings e, cb c"
+        for s in range(n_sub)
+    )
+    qd_union = " UNION ALL ".join(
+        f"SELECT q.query_id, c.j AS code, {s} AS sub, {d2('q.qv', s)} AS d"
+        f" FROM q, cb c"
+        for s in range(n_sub)
+    )
+    ctes = (
+        f"cb AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,"
+        f" embedding AS dv FROM (SELECT vec_id, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {ks})),"
+        f" dists AS ({dist_union}),"
+        f" enc AS MATERIALIZED (SELECT vec_id, sub, j AS code FROM ("
+        f"SELECT vec_id, sub, j, row_number() OVER (PARTITION BY vec_id, sub"
+        f" ORDER BY d ASC, j ASC) AS rn FROM dists) WHERE rn = 1)"
+    )
+    if final == "codes":
+        return f"WITH {ctes} SELECT vec_id, sub, code FROM enc"
+    return (
+        f"WITH {ctes},"
+        f" q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f" WHERE vec_id % {qmod} = 0),"
+        f" qd AS ({qd_union}),"
+        f" sc AS (SELECT d.query_id, e.vec_id, round(sum(d.d), 6) AS adc"
+        f" FROM enc e JOIN qd d ON d.sub = e.sub AND d.code = e.code"
+        f" WHERE e.vec_id <> d.query_id GROUP BY d.query_id, e.vec_id)"
+        f" SELECT query_id, vec_id, adc, rank FROM ("
+        f"SELECT query_id, vec_id, adc, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank"
+        f" FROM sc) WHERE rank <= {k}"
+    )
+
+
 def _hitting_sql(iters: int = 6, mod: int = 97) -> str:
     """Unrolled truncated hitting-time value iteration (hittime.py):
     h^{{t+1}} = 0 on targets else 1 + avg over neighbors of h^t."""
@@ -3798,6 +3871,8 @@ def oracle_sql() -> dict[str, str]:
         "hitting_times": _hitting_sql(iters=6, mod=97),
         "louvain2": _louvain_sql(rounds=2),
         "louvain_graph": _louvain_sql(rounds=2, aggregate=True),
+        "pq_codes": _pq_sql("codes"),
+        "pq_search": _pq_sql("search"),
         # the incremental path must equal the from-scratch labeling —
         # the oracle IS the full-graph recompute
         "cc_incremental": f"""
