@@ -218,6 +218,14 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_classify(spark, sf_dir):
+    """fastText-style hashed linear classifier inference over the
+    documents table (deterministic stand-in weights — see classifier.py)."""
+    from tric_spark.operators.classifier import classify_docs
+
+    return classify_docs(load_table(spark, sf_dir, "documents"))
+
+
 def q_pq_codes(spark, sf_dir):
     """PQ encode of the embeddings table: 8 subspaces × 16 deterministic
     codewords (first-16-by-id donors). Long form (vec_id, sub, code) —
@@ -1814,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_graph": q_louvain_graph,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
+        "classify": q_classify,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -3873,6 +3882,28 @@ def oracle_sql() -> dict[str, str]:
         "louvain_graph": _louvain_sql(rounds=2, aggregate=True),
         "pq_codes": _pq_sql("codes"),
         "pq_search": _pq_sql("search"),
+        # exp() ulp differences JVM-vs-libm sit ~1e-16, far under the 6dp
+        # rounding; weights are integer-exact before the single division
+        "classify": """
+            WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+              WHERE tok <> ''
+            ),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(
+                       (((('0x' || substr(md5('clf:29:' || tok), 1, 12))::BIGINT
+                          % 1024) * 2654435761) % 2000001) / 1000000.0 - 1.0
+                     ), 6) AS score
+              FROM t GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, score,
+                   round(1.0/(1.0 + exp(-score)), 6) AS prob,
+                   round(1.0/(1.0 + exp(-score)), 6) >= 0.5 AS label
+            FROM s
+        """,
         # the incremental path must equal the from-scratch labeling —
         # the oracle IS the full-graph recompute
         "cc_incremental": f"""
