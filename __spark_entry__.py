@@ -218,6 +218,20 @@ def q_cc_converged(spark, sf_dir):
     return connected_components(sym, verts)
 
 
+def q_asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase event gets the latest click at or
+    before it for the same user (union-and-carry window — no theta
+    join; ties pinned by the operator's documented total order)."""
+    from tric_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        payload=("ts", "value"),
+    )
+
+
 def q_classify(spark, sf_dir):
     """fastText-style hashed linear classifier inference over the
     documents table (deterministic stand-in weights — see classifier.py)."""
@@ -1823,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
         "classify": q_classify,
+        "asof_purchase_click": q_asof_purchase_click,
         "cc_star": q_cc_star,
         "pagerank_iter2": q_pagerank_iter2,
         "ppr_iter2": q_ppr_iter2,
@@ -3882,6 +3897,27 @@ def oracle_sql() -> dict[str, str]:
         "louvain_graph": _louvain_sql(rounds=2, aggregate=True),
         "pq_codes": _pq_sql("codes"),
         "pq_search": _pq_sql("search"),
+        # window replay of the union-and-carry construction — NOT native
+        # ASOF JOIN, whose same-ts tiebreak is unspecified (asof.py)
+        "asof_purchase_click": """
+            WITH r AS (SELECT user_id, ts AS _ts, 0 AS _side,
+                              event_id AS _oid, event_id AS _re
+                       FROM events WHERE event_type = 'click'),
+            l AS (SELECT user_id, ts AS _ts, 1 AS _side,
+                         event_id AS _oid, NULL::BIGINT AS _re
+                  FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+            c AS (SELECT user_id, _ts, _side, _oid,
+                    last_value(_re IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY _ts, _side, _oid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS _m
+                  FROM u)
+            SELECT c._oid AS event_id, c.user_id, c._ts AS ts,
+                   c._m AS r_event_id, e.ts AS r_ts, e.value AS r_value
+            FROM c LEFT JOIN events e ON e.event_id = c._m
+            WHERE c._side = 1
+        """,
         # exp() ulp differences JVM-vs-libm sit ~1e-16, far under the 6dp
         # rounding; weights are integer-exact before the single division
         "classify": """
