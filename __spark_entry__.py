@@ -1637,6 +1637,22 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """First 3 BPE merge rules trained over the corpus's whitespace word
+    types (weighted word-type BPE, Sennrich et al. 2016) — the tokenizer-
+    training pass of the data pipeline."""
+    from tric_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(load_table(spark, sf_dir, "documents"), rounds=3)
+    return merges.select(
+        "round",
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "pair_count",
+    )
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Per-doc type/token ratio + unigram Shannon entropy (nats) — the
     boilerplate/template-page detector."""
@@ -1788,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "double_sweep": q_double_sweep,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_merges": q_bpe_merges,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -1953,6 +1970,54 @@ _TRI = """
 """
 
 _TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled weighted word-type BPE replay (operators/bpe.py): per
+    round, argmax adjacent pair (count desc, l, r asc) then a
+    list_reduce fold applying the merge left-to-right non-overlapping —
+    identical to Spark's F.aggregate fold."""
+    ctes = [
+        """words AS (
+          SELECT w.word AS word, count(*) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL) w
+          WHERE w.word <> '' GROUP BY 1
+        )""",
+        r"""s0 AS (SELECT word, wc, regexp_extract_all(word, '[^\n\r]')
+                 AS syms
+               FROM words)""",
+    ]
+    selects = []
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""p{i} AS (
+              SELECT syms[i] AS l, syms[i+1] AS r, sum(wc) AS cnt
+              FROM s{i - 1}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""m{i} AS (SELECT l, r, cnt FROM p{i}
+                   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+              SELECT word, wc, list_reduce(
+                list_prepend(CAST([] AS VARCHAR[]),
+                             list_transform(s{i - 1}.syms, x -> [x])),
+                (a, b) -> CASE WHEN len(a) > 0 AND a[-1] = m{i}.l
+                                    AND b[1] = m{i}.r
+                          THEN list_append(a[1:len(a)-1], m{i}.l || m{i}.r)
+                          ELSE list_concat(a, b) END) AS syms
+              FROM s{i - 1}, m{i}
+            )"""
+        )
+        selects.append(
+            f"SELECT {i} AS round, l AS lhs, r AS rhs, l || r AS merged,"
+            f" cnt::BIGINT AS pair_count FROM m{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 # DSIR hashed-unigram log-weights (operators/dsir.py) — target slice is
 # lang='en'; ranks/rounding replay the Spark side exactly
@@ -5199,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         # winnowing replay: 48-bit md5 gram hashes, forward window min of
         # struct(h, -pos) = rightmost-tie argmin in one pass (struct
         # comparison is lexicographic in both engines), full windows only
+        "bpe_merges": _bpe_oracle(3),
         "winnow_fingerprints": """
             WITH t AS (
               SELECT doc_id,
