@@ -1668,6 +1668,23 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(N) = K*N^beta over the corpus in
+    doc_id order — the corpus-level junk-token diagnostic (beta near 1 =
+    unbounded vocabulary = noise)."""
+    from tric_spark.operators.textstats import heaps_law
+
+    return heaps_law(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_budget(spark, sf_dir):
+    """Token budget retained at each quality-score threshold — the curve
+    read before choosing a filtering cut."""
+    from tric_spark.operators.quality_filter import quality_budget_curve
+
+    return quality_budget_curve(load_table(spark, sf_dir, "documents"))
+
+
 def q_daily_retention(spark, sf_dir):
     """Day-over-day returning-user cohort counts over the event log."""
     from tric_spark.operators.anomaly import daily_retention
@@ -1805,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep": q_double_sweep,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_merges": q_bpe_merges,
+        "heaps_law": q_heaps_law,
+        "quality_budget": q_quality_budget,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5265,6 +5284,78 @@ def oracle_sql() -> dict[str, str]:
         # struct(h, -pos) = rightmost-tie argmin in one pass (struct
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
+        # Heaps replay: plain cumulative window over doc_id order (the
+        # Spark side's two-phase prefix sum computes the same values);
+        # the fit is one scalar aggregate, 6dp-rounded on both sides
+        "heaps_law": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            fs AS (
+              SELECT doc_id, count(*) AS new_types FROM (
+                SELECT token, min(doc_id) AS doc_id
+                FROM (SELECT doc_id, unnest(list_distinct(t)) AS token
+                      FROM base)
+                GROUP BY token
+              ) GROUP BY doc_id
+            ),
+            per AS (
+              SELECT b.doc_id, len(b.t) AS n_tok,
+                     coalesce(f.new_types, 0) AS new_types
+              FROM base b LEFT JOIN fs f USING (doc_id)
+            ),
+            cum AS (
+              SELECT sum(n_tok) OVER (ORDER BY doc_id) AS n_cum,
+                     sum(new_types) OVER (ORDER BY doc_id) AS v_cum
+              FROM per
+            ),
+            pts AS (
+              SELECT ln(n_cum) AS x, ln(v_cum) AS y, n_cum, v_cum
+              FROM cum WHERE n_cum > 0 AND v_cum > 0
+            ),
+            agg AS (
+              SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx,
+                     max(n_cum) AS tt, max(v_cum) AS vs
+              FROM pts
+            )
+            SELECT n::BIGINT AS n_points, tt::BIGINT AS total_tokens,
+                   vs::BIGINT AS vocab_size,
+                   round((sxy - n*mx*my) / (sxx - n*mx*mx), 6) AS beta,
+                   round(exp(my - (sxy - n*mx*my) / (sxx - n*mx*mx) * mx), 6)
+                     AS k_coef
+            FROM agg
+        """,
+        # budget curve: quality_scores replayed verbatim, fanned against
+        # the constant threshold grid
+        "quality_budget": """
+            WITH st AS (
+              SELECT len(string_split(text, ' ')) AS n_tokens,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','and','of','to','a'))) AS n_stop
+              FROM documents WHERE text IS NOT NULL
+            ),
+            sc AS (
+              SELECT n_tokens,
+                     round(least(1.0, n_tokens/50.0)
+                           * (0.5 + 0.5*n_stop/greatest(n_tokens, 1)), 4)
+                       AS score
+              FROM st
+            ),
+            grid AS (
+              SELECT round(g.i / 10.0, 6) AS threshold
+              FROM unnest(generate_series(0, 9)) AS g(i)
+            ),
+            tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM sc)
+            SELECT g.threshold,
+                   count(*)::BIGINT AS n_docs,
+                   sum(s.n_tokens)::BIGINT AS n_tokens,
+                   round(sum(s.n_tokens)::DOUBLE / t.tot, 6) AS frac_tokens
+            FROM sc s JOIN grid g ON s.score >= g.threshold, tot t
+            GROUP BY g.threshold, t.tot
+        """,
         "winnow_fingerprints": """
             WITH t AS (
               SELECT doc_id,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tric_spark.operators.repetition import repetition_metrics
-from tric_spark.operators.textstats import STOPWORDS, tokens_col
+from tric_spark.operators.textstats import STOPWORDS, quality_scores, tokens_col
 
 
 def gopher_quality_filter(
@@ -112,6 +112,37 @@ def gopher_quality_filter(
     )
     return joined.withColumn("n_failed", fails).withColumn(
         "keep", F.col("n_failed") == 0
+    )
+
+
+def quality_budget_curve(docs: DataFrame, grid: int = 10) -> DataFrame:
+    """(threshold, n_docs, n_tokens, frac_tokens) — token budget retained
+    when filtering at each quality-score threshold t = 0, 1/grid, …,
+    (grid-1)/grid over textstats.quality_scores.
+
+    The curve a pipeline owner reads before choosing a cut: "score ≥ 0.5
+    keeps 61% of tokens".  One scan: per-doc scores exploded against the
+    constant threshold grid (a grid-size fan-out of a per-DOC frame, then
+    a map-side-combined groupBy on `grid` keys — no window, no sort), and
+    the corpus total folded in as a broadcast 1-row aggregate.  Threshold
+    values are exact decimals via round(i/grid, 6) on both engines."""
+    scored = quality_scores(docs.filter(F.col("text").isNotNull())).select(
+        "n_tokens", "score"
+    )
+    th = F.array(*[F.lit(round(i / grid, 6)) for i in range(grid)])
+    fan = scored.select(
+        "n_tokens", "score", F.explode(th).alias("threshold")
+    ).filter(F.col("score") >= F.col("threshold"))
+    agg = fan.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = scored.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("frac_tokens"),
     )
 
 

@@ -295,6 +295,105 @@ def source_mix_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
     )
 
 
+def heaps_law(docs: DataFrame, prefix_partitions: int = 8) -> DataFrame:
+    """One-row Heaps'-law fit V(N) ≈ K·N^β of vocabulary growth over the
+    corpus read in doc_id order: per doc, cumulative token count N and
+    cumulative distinct-type count V (a type is "new" at the minimum
+    doc_id containing it), then the least-squares fit of ln V on ln N.
+
+    Returns (n_points, total_tokens, vocab_size, beta, k_coef) — β ≈ 0.4-0.6
+    for natural text; β near 1 flags machine/noise corpora (vocabulary
+    growing linearly = unbounded junk tokens), so this is a corpus-level
+    quality diagnostic for training data.
+
+    Scale shape: the cumulative sums are a distributed two-phase prefix
+    sum — repartitionByRange(doc_id) so ranges are contiguous, an
+    in-partition running sum (window partitioned BY the range id, never a
+    global single-partition window), plus broadcast exclusive partition
+    offsets — the textbook scan pattern, so the per-doc curve never
+    funnels through one task. The fit itself is one scalar aggregate.
+    """
+    base = docs.filter(F.col("text").isNotNull())
+    toks = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(tokens_col(), lambda t: t != F.lit("")))
+        ).alias("token"),
+    )
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    ntok = base.select(
+        "doc_id",
+        F.size(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias("n_tok"),
+    )
+    per = (
+        ntok.join(first_seen, "doc_id", "left")
+        .fillna(0, subset=["new_types"])
+        .repartitionByRange(prefix_partitions, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # referenced twice below (running sums + partition totals): cut
+        # so the explode/groupBy pipeline runs once
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("pid").orderBy("doc_id")
+    per = per.select(
+        "doc_id",
+        "pid",
+        "n_tok",
+        "new_types",
+        F.sum("n_tok").over(w_in).alias("ct_in"),
+        F.sum("new_types").over(w_in).alias("cv_in"),
+    )
+    # exclusive prefix over the (tiny) per-partition totals
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per.groupBy("pid")
+        .agg(F.sum("n_tok").alias("pt"), F.sum("new_types").alias("pv"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pt").over(w_off), F.lit(0)).alias("off_t"),
+            F.coalesce(F.sum("pv").over(w_off), F.lit(0)).alias("off_v"),
+        )
+    )
+    pts = (
+        per.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("ct_in") + F.col("off_t")).alias("n_cum"),
+            (F.col("cv_in") + F.col("off_v")).alias("v_cum"),
+        )
+        .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+        .select(
+            F.log("n_cum").alias("x"),
+            F.log("v_cum").alias("y"),
+            "n_cum",
+            "v_cum",
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("n_cum").alias("total_tokens"),
+        F.max("v_cum").alias("vocab_size"),
+    )
+    beta = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return agg.select(
+        F.col("n").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(F.col("my") - beta * F.col("mx")), 6).alias("k_coef"),
+    )
+
+
 def lexical_diversity(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_types, ttr, entropy) — per-document lexical
     diversity: type/token ratio and unigram Shannon entropy (nats),
