@@ -294,6 +294,35 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
 
     timed("kmeans8", lambda: kmeans(emb, k=8, iters=2)[0].count())
 
+    # NEW r5-final session: community moves (integer-gain Louvain),
+    # incremental CC (the delta-maintenance path: label ~4% of the edges
+    # back into a prelabeled graph), PQ ADC search (the memory-bound ANN
+    # variant), and the hashed-classifier text pass
+    from tric_spark.operators.cc import cc_incremental, connected_components
+    from tric_spark.operators.classifier import classify_docs
+    from tric_spark.operators.louvain import louvain_move
+    from tric_spark.operators.pq import pq_search
+
+    timed("louvain2", lambda: louvain_move(sym, rounds=2).count())
+
+    # prelabeling is the PREVIOUS day's job — materialized outside the
+    # timed region so the number is the delta-maintenance cost itself
+    keep = (F.col("src") + F.col("dst")) % 25 != 0
+    prev_labels = connected_components(
+        graph.symmetrize(canon.filter(keep)), verts
+    ).localCheckpoint(eager=True)
+    timed(
+        "cc_incremental",
+        lambda: cc_incremental(prev_labels, canon.filter(~keep)).count(),
+    )
+    timed(
+        "pq_search",
+        lambda: pq_search(
+            emb, emb.filter(F.col("vec_id") % 200 == 0), k=5
+        ).count(),
+    )
+    timed("classify_docs", lambda: classify_docs(docs).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]
