@@ -1668,6 +1668,14 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_neardup_eval(spark, sf_dir):
+    """Exact recall/verify-precision of the banded MinHash-LSH candidates
+    against exact Jaccard>=0.5 ground truth (shingle inverted index)."""
+    from tric_spark.operators.dedup import neardup_eval
+
+    return neardup_eval(load_table(spark, sf_dir, "documents"))
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit V(N) = K*N^beta over the corpus in
     doc_id order — the corpus-level junk-token diagnostic (beta near 1 =
@@ -1824,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
+        "neardup_eval": q_neardup_eval,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5284,6 +5293,34 @@ def oracle_sql() -> dict[str, str]:
         # struct(h, -pos) = rightmost-tie argmin in one pass (struct
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
+        # LSH eval: positives = shingle-inverted-index pairs verified by
+        # exact 4dp-rounded Jaccard >= 0.5; candidates = the standard
+        # k=16/4-band minhash cand CTE. Same cap assumption as
+        # minhash_lsh_pairs (band/shingle cells far below 100k at test SF)
+        "neardup_eval": f"""
+            WITH {_TOKS}, {_GRAMS}, {_lsh_cand_sql()},
+            gx AS (SELECT doc_id, unnest(g) AS s FROM grams),
+            tp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM gx x JOIN gx y ON x.s = y.s
+                             AND x.doc_id < y.doc_id),
+            pos AS (
+              SELECT t.a, t.b
+              FROM tp t JOIN grams ga ON ga.doc_id = t.a
+                        JOIN grams gb ON gb.doc_id = t.b
+              WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                          / len(list_distinct(ga.g || gb.g)), 4) >= 0.5
+            ),
+            hit AS (SELECT p.a, p.b FROM pos p
+                    JOIN cand c ON c.a = p.a AND c.b = p.b),
+            m AS (SELECT (SELECT count(*) FROM pos) AS n_pos,
+                         (SELECT count(*) FROM cand) AS n_cand,
+                         (SELECT count(*) FROM hit) AS n_hit)
+            SELECT n_pos::BIGINT AS n_pos, n_cand::BIGINT AS n_cand,
+                   n_hit::BIGINT AS n_hit,
+                   round(n_hit::DOUBLE / nullif(n_pos, 0), 6) AS recall,
+                   round(n_hit::DOUBLE / nullif(n_cand, 0), 6) AS precision
+            FROM m
+        """,
         # Heaps replay: plain cumulative window over doc_id order (the
         # Spark side's two-phase prefix sum computes the same values);
         # the fit is one scalar aggregate, 6dp-rounded on both sides

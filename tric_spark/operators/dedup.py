@@ -433,3 +433,67 @@ def dedup_rate_by(docs: DataFrame, key_col: str = "source") -> DataFrame:
             ),
         )
     )
+
+
+def neardup_eval(
+    docs: DataFrame,
+    tau: float = 0.5,
+    k: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    audit: dict | None = None,
+) -> DataFrame:
+    """One-row LSH quality report: recall and verify-precision of the
+    banded MinHash candidate pairs against EXACT Jaccard ≥ ``tau`` ground
+    truth — "measure, don't guess" for the dedup family itself.
+
+    Ground truth is exact, not sampled: any pair with Jaccard > 0 shares
+    at least one shingle, so the positive universe is enumerated by a
+    shingle inverted index — literally :func:`banded_candidate_pairs`
+    with the shingle itself as the band — then verified with exact
+    n-gram Jaccard (compared on the 4dp-ROUNDED value, the portable-
+    boundary rule).  ``max_bucket`` guards the stop-shingle cells the
+    same way it guards LSH band cells (skips surface via ``audit``).
+
+    Returns (n_pos, n_cand, n_hit, recall, precision):
+    recall    = |candidates ∩ positives| / |positives|
+    precision = |candidates ∩ positives| / |candidates| (the fraction of
+    candidate pairs that survive exact verification — the wasted-verify
+    cost).  Both NULL when their denominator is 0.
+
+    100-TB shape: two banded-groupBy passes (shingle index + LSH bands),
+    one bounded exact verify, three 1-row aggregates folded with
+    broadcast cross joins — no driver collects, no unbounded joins.
+    """
+    base = docs.filter(F.col("text").isNotNull())
+    grams = base.select(
+        F.col("doc_id").alias("id"), F.explode(shingles_col(ngram)).alias("band")
+    )
+    truth_pairs = banded_candidate_pairs([grams], max_bucket, audit)
+    pos = (
+        ngram_jaccard_pairs(base, truth_pairs, ngram)
+        .filter(F.col("jaccard") >= tau)
+        .select("a", "b")
+    )
+    cand = lsh_candidate_pairs(base, k, rows_per_band, ngram, max_bucket)
+    hit = pos.join(cand, ["a", "b"], "left_semi")
+
+    n_pos = pos.agg(F.count(F.lit(1)).alias("n_pos"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_pos.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_pos",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_pos"), F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_cand"), F.lit(0)), 6
+            ).alias("precision"),
+        )
+    )
