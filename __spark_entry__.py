@@ -1668,6 +1668,13 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF index vs exact brute force over a 1-in-40
+    sampled query set — the tune-before-you-index ANN report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_eval(emb, emb.filter(F.col("vec_id") % 40 == 0))
+
+
 def q_neardup_eval(spark, sf_dir):
     """Exact recall/verify-precision of the banded MinHash-LSH candidates
     against exact Jaccard>=0.5 ground truth (shingle inverted index)."""
@@ -1833,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
         "neardup_eval": q_neardup_eval,
+        "ann_recall": q_ann_recall,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5034,6 +5042,93 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # ANN recall report: the ann_ivf_topk chain (same 16-centroid
+        # deterministic codebook, one Lloyd refine, 4 probes) on the
+        # 1-in-40 query sample, scored against the exact brute-force list
+        "ann_recall": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            picked AS MATERIALIZED (
+              SELECT vec_id, v, md5(vec_id::VARCHAR) AS h
+              FROM e ORDER BY h, vec_id LIMIT 16
+            ),
+            cents0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY h, vec_id) AS cent_id, v AS cv
+              FROM picked
+            ),
+            a0 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents0 c
+              ) WHERE rnk = 1
+            ),
+            m AS MATERIALIZED (
+              SELECT cent_id, i, avg(val) AS mv
+              FROM (SELECT cent_id, unnest(v) AS val,
+                           unnest(range(1, len(v) + 1)) AS i
+                    FROM a0)
+              GROUP BY cent_id, i
+            ),
+            cents1 AS MATERIALIZED (
+              SELECT cent_id, list(mv ORDER BY i) AS cv FROM m GROUP BY cent_id
+            ),
+            a1 AS MATERIALIZED (
+              SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rnk
+                FROM e, cents1 c
+              ) WHERE rnk = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id % 40 = 0),
+            probes AS MATERIALIZED (
+              SELECT query_id, qv, cent_id FROM (
+                SELECT q.query_id, q.qv, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id) AS rnk
+                FROM q, cents1 c
+              ) WHERE rnk <= 4
+            ),
+            approx AS (
+              SELECT query_id, vec_id FROM (
+                SELECT s.query_id, s.vec_id, row_number() OVER (
+                  PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC)
+                  AS rank
+                FROM (SELECT p.query_id, a.vec_id,
+                             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+                      FROM probes p JOIN a1 a
+                        ON a.cent_id = p.cent_id
+                       AND a.vec_id <> p.query_id) s
+              ) WHERE rank <= 5
+            ),
+            exact AS (
+              SELECT query_id, vec_id FROM (
+                SELECT s.query_id, s.vec_id, row_number() OVER (
+                  PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC)
+                  AS rank
+                FROM (SELECT q.query_id, c.vec_id,
+                             round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+                      FROM e c, q WHERE c.vec_id <> q.query_id) s
+              ) WHERE rank <= 5
+            ),
+            ex AS (SELECT query_id, count(*) AS n_exact
+                   FROM exact GROUP BY 1),
+            ht AS (SELECT x.query_id, count(*) AS n_hit
+                   FROM exact x JOIN approx a
+                     ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+                   GROUP BY 1),
+            per AS (SELECT ex.query_id, ex.n_exact,
+                           coalesce(ht.n_hit, 0) AS n_hit
+                    FROM ex LEFT JOIN ht USING (query_id))
+            SELECT count(*)::BIGINT AS n_queries,
+                   round(avg(n_hit::DOUBLE / n_exact), 6) AS recall_at_k,
+                   round(min(n_hit::DOUBLE / n_exact), 6) AS min_recall,
+                   round(avg(CASE WHEN n_hit = n_exact THEN 1.0 ELSE 0.0 END),
+                         6) AS frac_perfect
+            FROM per
         """,
         # segment (passage) dedup: non-overlapping 4-token windows; first
         # global (doc_id, seg_idx) occurrence kept. Envelope: fixture texts

@@ -128,3 +128,31 @@ def test_hyperplane_matrix_guard_and_jagged_vectors(spark):
     assert sig_matrix == sig_legacy
     # and none of the jagged rows collapsed to the all-zeros bucket
     assert sig_matrix[1] != "0" * 8 and sig_matrix[2] != "0" * 8
+
+
+def test_ann_recall_eval(spark):
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+
+    # probing EVERY cell makes IVF exhaustive -> identical to brute force
+    full = sim.ann_recall_eval(
+        emb, qs, k=5, n_centroids=4, n_probe=4
+    ).collect()[0]
+    assert full["n_queries"] == 6
+    assert math.isclose(full["recall_at_k"], 1.0)
+    assert math.isclose(full["min_recall"], 1.0)
+    assert math.isclose(full["frac_perfect"], 1.0)
+
+    # restricted probing can only lose recall, never exceed 1
+    part = sim.ann_recall_eval(
+        emb, qs, k=5, n_centroids=8, n_probe=1
+    ).collect()[0]
+    assert 0.0 <= part["recall_at_k"] <= 1.0
+    assert part["min_recall"] <= part["recall_at_k"]

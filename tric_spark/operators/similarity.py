@@ -442,3 +442,59 @@ def rp_project(
         F.col(id_col).alias("vec_id"),
         F.when(F.size(F.col(vec_col)) == dims, F.array(*comps)).alias("proj"),
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 1,
+) -> DataFrame:
+    """One-row recall@k report of the IVF index against exact brute-force
+    ground truth — the standard ANN benchmark metric, computed in-engine
+    so an operator can tune (n_centroids, n_probe) from measurements
+    instead of guesses before committing to an index layout at scale.
+
+    Returns (n_queries, recall_at_k, min_recall, frac_perfect):
+    per query, recall = |ivf top-k ∩ exact top-k| / |exact top-k| (the
+    denominator is the exact list's size, which is < k only when the
+    corpus itself is smaller than k); recall_at_k is the mean, min_recall
+    the worst query, frac_perfect the fraction of queries whose IVF list
+    matches the exact list completely.
+
+    100-TB shape: the exact pass streams the corpus once against a
+    broadcast query set (ann_bruteforce_topk's partial top-k — this eval
+    is run on a SAMPLED query set, not all queries); the IVF pass is the
+    bounded probe join; the comparison is one semi-join plus per-query
+    counts. Both ranking orders are total (6dp cos desc, vec_id asc), so
+    the report is deterministic and oracle-replayable.
+    """
+    exact = ann_bruteforce_topk(embeddings, queries, k, id_col, vec_col)
+    approx = ann_ivf_topk(
+        embeddings, queries, k, n_centroids, n_probe, id_col, vec_col, refine
+    )
+    ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        exact.select("query_id", "vec_id")
+        .join(
+            approx.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per = ex.join(hit, "query_id", "left").fillna(0, subset=["n_hit"])
+    rq = F.col("n_hit").cast("double") / F.col("n_exact")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(rq), 6).alias("recall_at_k"),
+        F.round(F.min(rq), 6).alias("min_recall"),
+        F.round(
+            F.avg((F.col("n_hit") == F.col("n_exact")).cast("double")), 6
+        ).alias("frac_perfect"),
+    )
