@@ -1668,6 +1668,24 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_bpe_compression(spark, sf_dir):
+    """Corpus symbols-per-token compression bought by the first 3 trained
+    BPE merges — the stop-training signal per merge batch."""
+    from tric_spark.operators.bpe import bpe_compression
+
+    return bpe_compression(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
+def q_edge_cut(spark, sf_dir):
+    """Edge-cut fraction under vertex-hash vs host-locality partitioning
+    (16 md5 bins) — the graph-layout decision report."""
+    from tric_spark.plans.partition import edge_cut_report
+
+    canon, _, _, _ = _graph_tables(spark, sf_dir)
+    hosts = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return edge_cut_report(canon, hosts)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of the IVF index vs exact brute force over a 1-in-40
     sampled query set — the tune-before-you-index ANN report."""
@@ -1841,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget": q_quality_budget,
         "neardup_eval": q_neardup_eval,
         "ann_recall": q_ann_recall,
+        "bpe_compression": q_bpe_compression,
+        "edge_cut": q_edge_cut,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -2008,7 +2028,7 @@ _TRI = """
 _TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final: str = "merges") -> str:
     """Unrolled weighted word-type BPE replay (operators/bpe.py): per
     round, argmax adjacent pair (count desc, l, r asc) then a
     list_reduce fold applying the merge left-to-right non-overlapping —
@@ -2053,6 +2073,16 @@ def _bpe_oracle(rounds: int) -> str:
             f"SELECT {i} AS round, l AS lhs, r AS rhs, l || r AS merged,"
             f" cnt::BIGINT AS pair_count FROM m{i}"
         )
+    if final == "compression":
+        selects = [
+            f"""SELECT count(*)::BIGINT AS n_word_types,
+                   sum(a.wc)::BIGINT AS total_words,
+                   sum(a.wc * len(b.syms))::BIGINT AS total_syms_before,
+                   sum(a.wc * len(a.syms))::BIGINT AS total_syms_after,
+                   round(sum(a.wc * len(a.syms))::DOUBLE
+                         / sum(a.wc * len(b.syms)), 6) AS compression
+               FROM s{rounds} a JOIN s0 b USING (word)"""
+        ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 # DSIR hashed-unigram log-weights (operators/dsir.py) — target slice is
@@ -5388,6 +5418,35 @@ def oracle_sql() -> dict[str, str]:
         # struct(h, -pos) = rightmost-tie argmin in one pass (struct
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
+        "bpe_compression": _bpe_oracle(3, final="compression"),
+        # edge cut: und edges from the doc graph; bins are md5 of the
+        # vertex id (hash scheme) / of the documents' source key (host
+        # scheme), 12 hex digits mod 16 — the shared bucket convention
+        "edge_cut": f"""
+            WITH {E},
+            vb AS (SELECT doc_id,
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                            % 16 AS bin
+                   FROM documents),
+            hb AS (SELECT doc_id,
+                          ('0x' || substr(md5(source), 1, 12))::BIGINT
+                            % 16 AS bin
+                   FROM documents)
+            SELECT 'hash' AS scheme, count(*)::BIGINT AS n_edges,
+                   sum(CASE WHEN x.bin <> y.bin THEN 1 ELSE 0 END)::BIGINT
+                     AS n_cut,
+                   round(sum(CASE WHEN x.bin <> y.bin THEN 1 ELSE 0 END)
+                         ::DOUBLE / count(*), 6) AS cut_frac
+            FROM und JOIN vb x ON x.doc_id = und.src
+                     JOIN vb y ON y.doc_id = und.dst
+            UNION ALL
+            SELECT 'host', count(*)::BIGINT,
+                   sum(CASE WHEN x.bin <> y.bin THEN 1 ELSE 0 END)::BIGINT,
+                   round(sum(CASE WHEN x.bin <> y.bin THEN 1 ELSE 0 END)
+                         ::DOUBLE / count(*), 6)
+            FROM und JOIN hb x ON x.doc_id = und.src
+                     JOIN hb y ON y.doc_id = und.dst
+        """,
         # LSH eval: positives = shingle-inverted-index pairs verified by
         # exact 4dp-rounded Jaccard >= 0.5; candidates = the standard
         # k=16/4-band minhash cand CTE. Same cap assumption as

@@ -90,3 +90,18 @@ def test_word_types_filters(spark):
     wt = {r["word"]: r["wc"] for r in word_types(_docs(spark)).collect()}
     assert "" not in wt
     assert wt["the"] == 3  # 2 in doc0 + 1 in doc2
+
+
+def test_bpe_compression(spark):
+    from tric_spark.operators.bpe import bpe_compression
+
+    row = bpe_compression(_docs(spark), rounds=4).collect()[0]
+    _, exp_syms, exp_wt = _py_bpe(TEXTS, rounds=4)
+    before = sum(exp_wt[w] * len([c for c in w if c not in "\n\r"]) for w in exp_wt)
+    after = sum(exp_wt[w] * len(s) for w, s in exp_syms.items())
+    assert row["n_word_types"] == len(exp_wt)
+    assert row["total_words"] == sum(exp_wt.values())
+    assert row["total_syms_before"] == before
+    assert row["total_syms_after"] == after
+    assert abs(row["compression"] - round(after / before, 6)) < 1e-9
+    assert row["compression"] < 1.0

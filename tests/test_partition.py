@@ -181,3 +181,28 @@ def test_salted_per_vertex_matches_oracle_both_branches(spark):
         for r in tc.triangles_per_vertex_adj2_salted(canon, tau=4, num_salts=4).collect()
     }
     assert got == per
+
+
+def test_edge_cut_report(spark):
+    from pyspark.sql import functions as F
+
+    from tric_spark.plans.partition import edge_cut_report
+
+    # 6 pages on 2 hosts; edges 0-1,1-2 intra-host-a, 3-4 intra-host-b,
+    # 2-3 cross-host
+    hosts = spark.createDataFrame(
+        [(i, "host-a" if i < 3 else "host-b") for i in range(6)],
+        "doc_id long, source string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (2, 3)], "src long, dst long"
+    )
+    rows = {r["scheme"]: r for r in edge_cut_report(edges, hosts).collect()}
+    assert rows["host"]["n_edges"] == 4
+    # under host binning only the cross-host edge CAN be cut (it is cut
+    # unless both hosts hash to the same of 16 bins)
+    assert rows["host"]["n_cut"] <= 1
+    assert rows["hash"]["n_edges"] == 4
+    assert 0 <= rows["hash"]["n_cut"] <= 4
+    for r in rows.values():
+        assert abs(r["cut_frac"] - round(r["n_cut"] / r["n_edges"], 6)) < 1e-9

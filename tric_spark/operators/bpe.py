@@ -132,3 +132,32 @@ def bpe_train(docs: DataFrame, rounds: int = 3) -> tuple[DataFrame, DataFrame]:
     for f in merge_frames[1:]:
         merges = merges.unionByName(f)
     return merges, st
+
+
+def bpe_compression(docs: DataFrame, rounds: int = 3) -> DataFrame:
+    """One-row corpus compression readout of the first ``rounds`` trained
+    merges: (n_word_types, total_words, total_syms_before,
+    total_syms_after, compression) where compression = symbols-per-corpus
+    after / before (1.0 = merges bought nothing).
+
+    The go/no-go metric a tokenizer-training pipeline reads per merge
+    batch — when the marginal compression of a batch flattens, stop
+    training.  Costs one aggregate over the word-TYPE table on top of
+    bpe_train (the corpus is never rescanned)."""
+    _, st = bpe_train(docs, rounds)
+    before = F.size(
+        F.regexp_extract_all(F.col("word"), F.lit(_CHAR_RE), F.lit(0))
+    )
+    return st.agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("wc").cast("long").alias("total_words"),
+        F.sum(F.col("wc") * before).cast("long").alias("total_syms_before"),
+        F.sum(F.col("wc") * F.size("syms")).cast("long").alias(
+            "total_syms_after"
+        ),
+        F.round(
+            F.sum(F.col("wc") * F.size("syms"))
+            / F.sum(F.col("wc") * before).cast("double"),
+            6,
+        ).alias("compression"),
+    )

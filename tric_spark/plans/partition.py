@@ -141,3 +141,62 @@ def split_hub_vertices(
         )
         .drop("degree")
     )
+
+
+def edge_cut_report(
+    edges: DataFrame, hosts: DataFrame, n_parts: int = 16
+) -> DataFrame:
+    """(scheme, n_edges, n_cut, cut_frac) — the fraction of edges crossing
+    executor partitions under (a) plain vertex-hash partitioning and
+    (b) host-locality partitioning (every page of a host lands in the same
+    partition, binned by md5 of the host key).
+
+    The decision report for graph layout at scale: web links are heavily
+    intra-host, so host-locality placement turns most edges into
+    LOCAL joins (the reference's 1-D ownership, graph.hpp:124–188, is the
+    hash row of this report).  Cut fraction ≈ shuffle volume per
+    superstep, so "host cut 0.3 vs hash cut 0.94" is a 3× shuffle saving
+    read straight off this table before committing to a bucketing layout.
+
+    Shape: two broadcast-or-shuffle joins of the (vertex → bin) maps onto
+    the edge table and one 2-row aggregate; md5 bins, so the report is
+    engine-portable and oracle-replayable.
+    """
+    def md5_bin(c):
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_parts),
+        )
+
+    vb = hosts.select(
+        F.col("doc_id").alias("vid"), md5_bin(F.col("doc_id")).alias("bin")
+    )
+    hb = hosts.select(
+        F.col("doc_id").alias("vid"), md5_bin(F.col("source")).alias("bin")
+    )
+    out = []
+    for scheme, bins in (("hash", vb), ("host", hb)):
+        j = (
+            edges.join(
+                bins.select(F.col("vid").alias("src"), F.col("bin").alias("sb")),
+                "src",
+            )
+            .join(
+                bins.select(F.col("vid").alias("dst"), F.col("bin").alias("db")),
+                "dst",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                F.sum((F.col("sb") != F.col("db")).cast("long")).alias("n_cut"),
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "n_edges",
+                "n_cut",
+                F.round(F.col("n_cut") / F.col("n_edges"), 6).alias("cut_frac"),
+            )
+        )
+        out.append(j)
+    return out[0].unionByName(out[1])
