@@ -1668,6 +1668,20 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_label_agreement(spark, sf_dir):
+    """NMI + adjusted Rand agreement between the corpus's lang and source
+    labelings — the community-detection eval harness exercised on real
+    columns (is language concentrated by host?)."""
+    from tric_spark.operators.clustereval import cluster_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("vid"), F.col("lang").alias("label"))
+    b = docs.select(
+        F.col("doc_id").alias("vid"), F.col("source").alias("label")
+    )
+    return cluster_agreement(a, b)
+
+
 def q_bpe_compression(spark, sf_dir):
     """Corpus symbols-per-token compression bought by the first 3 trained
     BPE merges — the stop-training signal per merge batch."""
@@ -1861,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "bpe_compression": q_bpe_compression,
         "edge_cut": q_edge_cut,
+        "label_agreement": q_label_agreement,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5419,6 +5434,40 @@ def oracle_sql() -> dict[str, str]:
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
         "bpe_compression": _bpe_oracle(3, final="compression"),
+        # NMI/ARI from the contingency table; ln() on both engines, nmi
+        # normalized by the UNROUNDED entropies, si*sj in double (the
+        # operator's overflow rule)
+        "label_agreement": """
+            WITH cont AS (SELECT lang AS la, source AS lb, count(*) AS nij
+                          FROM documents GROUP BY 1, 2),
+            ma AS (SELECT la, sum(nij) AS ai FROM cont GROUP BY 1),
+            mb AS (SELECT lb, sum(nij) AS bj FROM cont GROUP BY 1),
+            tot AS (SELECT sum(nij) AS n, sum(nij*(nij-1)/2) AS sij
+                    FROM cont),
+            sa AS (SELECT count(*) AS n_labels_a, sum(ai*(ai-1)/2) AS si
+                   FROM ma),
+            sb AS (SELECT count(*) AS n_labels_b, sum(bj*(bj-1)/2) AS sj
+                   FROM mb),
+            mi AS (SELECT sum((nij::DOUBLE / t.n)
+                              * ln(t.n * nij / (ma.ai * mb.bj)::DOUBLE))
+                          AS mi
+                   FROM cont JOIN ma USING (la) JOIN mb USING (lb), tot t),
+            ha AS (SELECT -sum((ai::DOUBLE / t.n) * ln(ai::DOUBLE / t.n))
+                          AS h_a FROM ma, tot t),
+            hb AS (SELECT -sum((bj::DOUBLE / t.n) * ln(bj::DOUBLE / t.n))
+                          AS h_b FROM mb, tot t)
+            SELECT t.n::BIGINT AS n, sa.n_labels_a::BIGINT AS n_labels_a,
+                   sb.n_labels_b::BIGINT AS n_labels_b,
+                   round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+                   round(mi / sqrt(nullif(h_a * h_b, 0)), 6) AS nmi,
+                   round((t.sij - sa.si::DOUBLE * sb.sj
+                                  / (t.n * (t.n - 1) / 2.0))
+                         / nullif((sa.si + sb.sj) / 2.0
+                                  - sa.si::DOUBLE * sb.sj
+                                    / (t.n * (t.n - 1) / 2.0), 0), 6)
+                     AS ari
+            FROM tot t, sa, sb, mi, ha, hb
+        """,
         # edge cut: und edges from the doc graph; bins are md5 of the
         # vertex id (hash scheme) / of the documents' source key (host
         # scheme), 12 hex digits mod 16 — the shared bucket convention
