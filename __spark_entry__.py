@@ -1310,8 +1310,15 @@ def q_salsa_iter2(spark, sf_dir):
         F.col("doc_id").alias("vid")
     )
     r = salsa(directed, verts, tol=0.0, max_iter=2)
+    # +1e-9 nudge before the 6dp round: SALSA's L1-normalized 2-iteration
+    # trajectory yields small RATIONALS that land exactly on x.xxxxxx5
+    # midpoints (measured: 0.0025725, 0.0006375, 0.0011425 at sf0.01),
+    # where last-bit float noise flips round() run-to-run and across
+    # engines; the shared nudge pins the midpoints deterministically up
     return r.select(
-        "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        "vid",
+        F.round(F.col("hub") + F.lit(1e-9), 6).alias("hub"),
+        F.round(F.col("auth") + F.lit(1e-9), 6).alias("auth"),
     )
 
 
@@ -2508,9 +2515,11 @@ def _salsa_sql(iters: int = 2) -> str:
             f"s{i} AS MATERIALIZED (SELECT h.vid, h.hub, a.auth"
             f" FROM h{i} h JOIN a{i} a ON a.vid = h.vid)"
         )
+    # +1e-9 midpoint nudge — must match q_salsa_iter2's final select
     return (
         f"WITH {E}, {DOC_DIRECTED_SQL.strip()}, {', '.join(ctes)}"
-        f" SELECT vid, round(hub, 6) AS hub, round(auth, 6) AS auth"
+        f" SELECT vid, round(hub + 1e-9, 6) AS hub,"
+        f" round(auth + 1e-9, 6) AS auth"
         f" FROM s{iters}"
     )
 
