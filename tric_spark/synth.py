@@ -290,3 +290,64 @@ def rmat_edges(
         src = src + F.shiftleft(src_bit, lvl)
         dst = dst + F.shiftleft(dst_bit, lvl)
     return e.select(src.alias("src"), dst.alias("dst"))
+
+
+def sbm_edges(
+    spark: SparkSession,
+    n: int,
+    k: int = 4,
+    d_in: int = 8,
+    d_out: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, block) — planted-partition (symmetric SBM) directed
+    picks over ``n`` vertices in ``k`` equal blocks (block(v) = v % k;
+    ``n`` must be divisible by ``k``): per vertex, ``d_in`` intra-block
+    and ``d_out`` inter-block targets, every choice one deterministic
+    md5 uniform keyed ("sbm", seed, v, tag, j) — the engine-wide
+    seedless-randomness rule (identical at any parallelism, replayable in
+    python).  Multi-edges are emitted raw; self-loops are impossible by
+    construction (the intra member index skips the vertex's own slot).
+
+    The community-detection eval fixture: generate with d_in ≫ d_out,
+    cluster (louvain/lp), score against the planted ``block`` column with
+    operators/clustereval.cluster_agreement.  Like rmat_edges, the whole
+    build is spark.range + JVM expressions — no Python, no shuffle.
+    """
+    if n % k != 0:
+        raise ValueError("n must be divisible by k (equal blocks)")
+    if k < 2 or n // k < 2:
+        raise ValueError("need k >= 2 blocks of >= 2 vertices")
+    bs = n // k  # block size
+
+    def u48(tag: str, j: int) -> Column:
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("sbm"),
+                F.lit(str(seed)),
+                F.col("id").cast("string"),
+                F.lit(tag),
+                F.lit(str(j)),
+            )
+        )
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+    v = spark.range(n)
+    blk = F.col("id") % k
+    own = (F.col("id") / k).cast("long")  # the vertex's member index
+    targets = []
+    for j in range(d_in):
+        # member index in 0..bs-1, own slot excluded -> no self-loops
+        m = (own + 1 + u48("in", j) % (bs - 1)) % bs
+        targets.append(blk + k * m)
+    for j in range(d_out):
+        r = 1 + u48("blk", j) % (k - 1)  # a DIFFERENT block
+        m = u48("out", j) % bs
+        targets.append((blk + r) % k + k * m)
+    arr = F.array(*targets)
+    return v.select(
+        F.col("id").alias("src"),
+        F.explode(arr).alias("dst"),
+        blk.alias("block"),
+    )
