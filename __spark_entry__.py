@@ -1675,6 +1675,14 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_lang_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-language token
+    distributions — the corpus drift / domain-shift monitor."""
+    from tric_spark.operators.divergence import js_divergence_by
+
+    return js_divergence_by(load_table(spark, sf_dir, "documents"), "lang")
+
+
 def q_label_agreement(spark, sf_dir):
     """NMI + adjusted Rand agreement between the corpus's lang and source
     labelings — the community-detection eval harness exercised on real
@@ -1883,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression": q_bpe_compression,
         "edge_cut": q_edge_cut,
         "label_agreement": q_label_agreement,
+        "lang_divergence": q_lang_divergence,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5443,6 +5452,40 @@ def oracle_sql() -> dict[str, str]:
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
         "bpe_compression": _bpe_oracle(3, final="compression"),
+        # JS divergence: inner join on shared tokens; the zero-mass terms
+        # fold in closed form (p-only token contributes p*ln2), so no
+        # outer join; fully disjoint pairs come from the key cross join
+        "lang_divergence": """
+            WITH toks AS (
+              SELECT lang AS key,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+            ),
+            cnt AS (SELECT key, token, count(*) AS c FROM toks GROUP BY 1, 2),
+            tot AS (SELECT key, sum(c) AS t FROM cnt GROUP BY 1),
+            dist AS (SELECT c.key, c.token, c.c::DOUBLE / t.t AS p
+                     FROM cnt c JOIN tot t USING (key)),
+            shared AS (
+              SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_shared,
+                     sum(a.p * ln(a.p / ((a.p + b.p) / 2))) AS ta,
+                     sum(b.p * ln(b.p / ((a.p + b.p) / 2))) AS tb,
+                     sum(a.p) AS spa, sum(b.p) AS spb
+              FROM dist a JOIN dist b ON a.token = b.token AND a.key < b.key
+              GROUP BY 1, 2
+            ),
+            keys AS (SELECT DISTINCT key FROM dist),
+            pairs AS (SELECT a.key AS key_a, b.key AS key_b
+                      FROM keys a, keys b WHERE a.key < b.key)
+            SELECT p.key_a, p.key_b,
+                   coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+                   round(0.5 * (coalesce(s.ta, 0)
+                                + (1 - coalesce(s.spa, 0)) * ln(2))
+                         + 0.5 * (coalesce(s.tb, 0)
+                                  + (1 - coalesce(s.spb, 0)) * ln(2)), 6)
+                     AS js
+            FROM pairs p LEFT JOIN shared s USING (key_a, key_b)
+        """,
         # NMI/ARI from the contingency table; ln() on both engines, nmi
         # normalized by the UNROUNDED entropies, si*sj in double (the
         # operator's overflow rule)
