@@ -1675,6 +1675,16 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_covisitation(spark, sf_dir):
+    """Top-3 item co-visitation recommendations from the event log (items
+    parsed from the props JSON payload) — the CF candidate generator.
+    Same cap assumption as q_minhash_lsh_pairs: Spark runs the default
+    max_fanout guard, the oracle is unguarded (no sf0.01 user trips it)."""
+    from tric_spark.operators.covisit import covisitation_topk
+
+    return covisitation_topk(load_table(spark, sf_dir, "events"), k=3)
+
+
 def q_lang_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between per-language token
     distributions — the corpus drift / domain-shift monitor."""
@@ -1892,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_cut": q_edge_cut,
         "label_agreement": q_label_agreement,
         "lang_divergence": q_lang_divergence,
+        "covisitation": q_covisitation,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5452,6 +5463,41 @@ def oracle_sql() -> dict[str, str]:
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
         "bpe_compression": _bpe_oracle(3, final="compression"),
+        # co-visitation: get_json_object($.k) == json_extract_string;
+        # ranks on (n_co, ROUNDED cos, rec) — total order, both engines
+        "covisitation": """
+            WITH ui AS (
+              SELECT DISTINCT user_id,
+                     json_extract_string(props, '$.k')::BIGINT AS item
+              FROM events
+              WHERE user_id IS NOT NULL
+                AND json_extract_string(props, '$.k') IS NOT NULL
+            ),
+            n AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+              FROM ui a JOIN ui b ON a.user_id = b.user_id
+                                 AND a.item < b.item
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT p.item_a, p.item_b, p.n_co,
+                     round(p.n_co / sqrt(na.n * nb.n), 6) AS cos
+              FROM pairs p JOIN n na ON na.item = p.item_a
+                           JOIN n nb ON nb.item = p.item_b
+            ),
+            sym AS (
+              SELECT item_a AS item, item_b AS rec, n_co, cos FROM scored
+              UNION ALL
+              SELECT item_b, item_a, n_co, cos FROM scored
+            )
+            SELECT item, rec, n_co::BIGINT AS n_co, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY item
+                ORDER BY n_co DESC, cos DESC, rec ASC) AS rank
+              FROM sym
+            ) WHERE rank <= 3
+        """,
         # JS divergence: inner join on shared tokens; the zero-mass terms
         # fold in closed form (p-only token contributes p*ln2), so no
         # outer join; fully disjoint pairs come from the key cross join
