@@ -1675,6 +1675,15 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase conversion funnel with earliest-witness
+    semantics (each stage strictly after the previous stage's conversion
+    time)."""
+    from tric_spark.operators.funnel import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def q_covisitation(spark, sf_dir):
     """Top-3 item co-visitation recommendations from the event log (items
     parsed from the props JSON payload) — the CF candidate generator.
@@ -1903,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": q_label_agreement,
         "lang_divergence": q_lang_divergence,
         "covisitation": q_covisitation,
+        "funnel": q_funnel,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5463,6 +5473,33 @@ def oracle_sql() -> dict[str, str]:
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
         "bpe_compression": _bpe_oracle(3, final="compression"),
+        # funnel: earliest-witness conversion, strict ts ordering
+        "funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1),
+            c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                         (SELECT count(*) FROM s2) AS c2,
+                         (SELECT count(*) FROM s3) AS c3)
+            SELECT 1 AS stage_idx, 'view' AS stage, c1::BIGINT AS n_users,
+                   round(c1::DOUBLE / nullif(c1, 0), 6) AS conv_from_prev,
+                   round(c1::DOUBLE / nullif(c1, 0), 6) AS conv_from_first
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', c2::BIGINT,
+                   round(c2::DOUBLE / nullif(c1, 0), 6),
+                   round(c2::DOUBLE / nullif(c1, 0), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', c3::BIGINT,
+                   round(c3::DOUBLE / nullif(c2, 0), 6),
+                   round(c3::DOUBLE / nullif(c1, 0), 6) FROM c
+        """,
         # co-visitation: get_json_object($.k) == json_extract_string;
         # ranks on (n_co, ROUNDED cos, rec) — total order, both engines
         "covisitation": """
