@@ -471,12 +471,17 @@ def neardup_eval(
         F.col("doc_id").alias("id"), F.explode(shingles_col(ngram)).alias("band")
     )
     truth_pairs = banded_candidate_pairs([grams], max_bucket, audit)
+    # pos and cand each feed BOTH a count and the hit join — cut so the
+    # shingle-index/LSH pipelines run once each
     pos = (
         ngram_jaccard_pairs(base, truth_pairs, ngram)
         .filter(F.col("jaccard") >= tau)
         .select("a", "b")
+        .localCheckpoint(eager=True)
     )
-    cand = lsh_candidate_pairs(base, k, rows_per_band, ngram, max_bucket)
+    cand = lsh_candidate_pairs(
+        base, k, rows_per_band, ngram, max_bucket
+    ).localCheckpoint(eager=True)
     hit = pos.join(cand, ["a", "b"], "left_semi")
 
     n_pos = pos.agg(F.count(F.lit(1)).alias("n_pos"))
