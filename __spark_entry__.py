@@ -1675,6 +1675,22 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts/probabilities of each user's time-ordered
+    event stream (event_id tie-break — total order)."""
+    from tric_spark.operators.transitions import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the lang_id marker heuristic against the
+    labeled lang column — the classifier eval loop."""
+    from tric_spark.operators.textstats import langid_confusion
+
+    return langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def q_funnel(spark, sf_dir):
     """view -> click -> purchase conversion funnel with earliest-witness
     semantics (each stage strictly after the previous stage's conversion
@@ -1913,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_divergence": q_lang_divergence,
         "covisitation": q_covisitation,
         "funnel": q_funnel,
+        "event_transitions": q_event_transitions,
+        "langid_confusion": q_langid_confusion,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -5473,6 +5491,48 @@ def oracle_sql() -> dict[str, str]:
         # comparison is lexicographic in both engines), full windows only
         "bpe_merges": _bpe_oracle(3),
         "bpe_compression": _bpe_oracle(3, final="compression"),
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events
+            ),
+            cnt AS (SELECT from_type, to_type, count(*) AS n FROM seq
+                    WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
+                   round(c.n::DOUBLE / t.t, 6) AS p
+            FROM cnt c JOIN tot t USING (from_type)
+        """,
+        "langid_confusion": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT doc_id, lang, hits FROM (
+                SELECT doc_id,
+                       unnest(['de','en','es','fr']) AS lang,
+                       unnest([
+                         len(list_filter(t, x -> x = 'der')),
+                         len(list_filter(t, x -> x = 'the')),
+                         len(list_filter(t, x -> x = 'el')),
+                         len(list_filter(t, x -> x = 'le'))
+                       ]) AS hits
+                FROM toks
+              )
+            ),
+            pred AS (
+              SELECT doc_id, lang AS pred_lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY hits DESC, lang ASC) AS rn
+                FROM hits
+              ) WHERE rn = 1
+            )
+            SELECT d.lang AS actual, p.pred_lang, count(*)::BIGINT AS n
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """,
         # funnel: earliest-witness conversion, strict ts ordering
         "funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

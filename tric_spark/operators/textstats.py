@@ -433,3 +433,18 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """(actual, pred_lang, n) — confusion matrix of the lang_id heuristic
+    against the corpus's labeled ``lang`` column: the eval loop for the
+    language classifier (read the off-diagonal before trusting the
+    marker-token rule on a new corpus). One join + one groupBy at
+    label-pair cardinality."""
+    pred = lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
