@@ -317,6 +317,21 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_warm(spark, sf_dir):
+    """Incremental PageRank maintenance: 2 iterations on the full graph
+    warm-started from a 2-iteration run on the 96%-edge 'previous day'
+    graph (the cc_incremental delta convention) — vertices absent from
+    the warm state seed at the uniform 1/n."""
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    from tric_spark import graph as _g
+
+    old_canon = canon.filter((F.col("src") + F.col("dst")) % 25 != 0)
+    old_sym = _g.symmetrize(old_canon)
+    prev = pagerank(old_sym, _g.vertices(old_sym), tol=0.0, max_iter=2)
+    r = pagerank(sym, verts, tol=0.0, max_iter=2, init_ranks=prev)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def q_ppr_iter2(spark, sf_dir):
     from tric_spark.operators.pagerank import personalized_pagerank
 
@@ -1931,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "event_transitions": q_event_transitions,
         "langid_confusion": q_langid_confusion,
+        "pagerank_warm": q_pagerank_warm,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -4185,6 +4201,45 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        # warm-start PR: old-graph chain (96% of und edges, its own deg/n)
+        # then the full-graph chain seeded from o2, missing vids -> 1/n
+        "pagerank_warm": f"""
+            WITH {E},
+            undo AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),
+            symo AS (SELECT src, dst FROM undo
+                     UNION ALL SELECT dst, src FROM undo),
+            dego AS (SELECT src AS vid, count(*) AS degree FROM symo
+                     GROUP BY 1),
+            nvo AS (SELECT count(*) AS n FROM dego),
+            o0 AS (SELECT vid, 1.0/(SELECT n FROM nvo) AS rank, degree
+                   FROM dego),
+            o1 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nvo)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM symo s JOIN o0 r ON s.src = r.vid GROUP BY 1),
+            o1d AS (SELECT o1.vid, o1.rank, d.degree FROM o1
+                    JOIN dego d USING (vid)),
+            o2 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nvo)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM symo s JOIN o1d r ON s.src = r.vid GROUP BY 1),
+            nv AS (SELECT count(*) AS n FROM deg),
+            w0 AS (SELECT d.vid,
+                          coalesce(o2.rank, 1.0/(SELECT n FROM nv)) AS rank,
+                          d.degree
+                   FROM deg d LEFT JOIN o2 ON o2.vid = d.vid),
+            w1 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nv)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM sym s JOIN w0 r ON s.src = r.vid GROUP BY 1),
+            w1d AS (SELECT w1.vid, w1.rank, d.degree FROM w1
+                    JOIN deg d USING (vid)),
+            w2 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nv)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
+            SELECT vid, round(rank, 6) AS rank FROM w2
         """,
         # CSN continuous MLE over the deg tail; ln() not log()
         "powerlaw_alpha": f"""

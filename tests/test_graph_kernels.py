@@ -221,3 +221,34 @@ def test_weighted_and_ppr_check_every_one_delta_action_per_block(spark, monkeypa
     }
     assert calls["delta"] <= -(-n1 // 5) + 1
     assert np.allclose([p1[i] for i in range(5)], [p2[i] for i in range(5)], atol=1e-8)
+
+
+def test_pagerank_warm_start(spark):
+    from pyspark.sql import functions as F
+
+    pairs = er_graph(n=50, p_inv=8)
+    canon, sym, verts = _graph_tables(spark, pairs)
+
+    # warm start FROM the fixpoint stays at the fixpoint
+    fix = pagerank(sym, verts, tol=1e-12, max_iter=300)
+    again = pagerank(sym, verts, tol=0.0, max_iter=2, init_ranks=fix)
+    d = (
+        fix.select("vid", F.col("rank").alias("r0"))
+        .join(again, "vid")
+        .agg(F.max(F.abs(F.col("rank") - F.col("r0"))))
+        .collect()[0][0]
+    )
+    assert d < 1e-9
+
+    # missing vids seed at the uniform 1/n: warm from an EMPTY init equals
+    # the cold fixed-2-iteration run exactly
+    empty = spark.createDataFrame([], "vid long, rank double")
+    cold = pagerank(sym, verts, tol=0.0, max_iter=2)
+    warm = pagerank(sym, verts, tol=0.0, max_iter=2, init_ranks=empty)
+    dd = (
+        cold.select("vid", F.col("rank").alias("r0"))
+        .join(warm, "vid")
+        .agg(F.max(F.abs(F.col("rank") - F.col("r0"))))
+        .collect()[0][0]
+    )
+    assert dd == 0.0

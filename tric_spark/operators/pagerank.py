@@ -124,6 +124,7 @@ def pagerank(
     driver: SuperstepDriver | None = None,
     chain: int = 3,
     check_every: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """(vid, rank) at convergence. ``directed`` is the directed link graph
     (src, dst); ``vertices`` the full vertex set (vid) — needed because
@@ -132,6 +133,14 @@ def pagerank(
     ``driver``: optional checkpointing superstep driver for resumable runs.
     ``chain``/``check_every``: supersteps per checkpoint (fixed-iteration /
     convergence mode) — see :func:`_iterate`.
+
+    ``init_ranks``: optional (vid, rank) warm start — the incremental-
+    maintenance path (the cc_incremental sibling): seed with yesterday's
+    converged ranks and today's slightly-changed graph re-converges in a
+    handful of supersteps instead of tens (the 0.85-contraction shrinks
+    the warm start's small residual, not a uniform init's large one).
+    Vertices absent from ``init_ranks`` (newly added pages) start at the
+    uniform 1/n; extra vertices in it are ignored.
     """
     from tric_spark.graph import out_adjacency
 
@@ -150,7 +159,15 @@ def pagerank(
     has_dangling = adj.count() < n_b
     chain, check_every = _chain_policy(has_dangling, chain, check_every)
 
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is not None:
+        ranks = (
+            vertices.join(init_ranks.select("vid", "rank"), "vid", "left")
+            .select(
+                "vid", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+            )
+        )
+    else:
+        ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     state_schema = "vid long, rank double"
 
     def step(rk: DataFrame) -> DataFrame:
