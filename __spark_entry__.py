@@ -317,6 +317,15 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_edge_diff(spark, sf_dir):
+    """Snapshot churn report between the 96%-edge 'previous day' graph and
+    the full graph (the delta convention shared with cc_incremental /
+    pagerank_warm)."""
+    canon, _, _, _ = _graph_tables(spark, sf_dir)
+    old = canon.filter((F.col("src") + F.col("dst")) % 25 != 0)
+    return graph.edge_diff(old, canon)
+
+
 def q_pagerank_warm(spark, sf_dir):
     """Incremental PageRank maintenance: 2 iterations on the full graph
     warm-started from a 2-iteration run on the 96%-edge 'previous day'
@@ -1947,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "langid_confusion": q_langid_confusion,
         "pagerank_warm": q_pagerank_warm,
+        "edge_diff": q_edge_diff,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -4201,6 +4211,30 @@ def oracle_sql() -> dict[str, str]:
               FROM sym s JOIN r1d r ON s.src = r.vid GROUP BY s.dst
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
+        """,
+        "edge_diff": f"""
+            WITH {E},
+            o AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),
+            m AS (SELECT
+              (SELECT count(*) FROM o) AS n_old,
+              (SELECT count(*) FROM und) AS n_new,
+              (SELECT count(*) FROM und u WHERE NOT EXISTS
+                 (SELECT 1 FROM o WHERE o.src = u.src AND o.dst = u.dst))
+                AS n_added,
+              (SELECT count(*) FROM o WHERE NOT EXISTS
+                 (SELECT 1 FROM und u WHERE u.src = o.src
+                                        AND u.dst = o.dst)) AS n_removed,
+              (SELECT count(*) FROM o WHERE EXISTS
+                 (SELECT 1 FROM und u WHERE u.src = o.src
+                                        AND u.dst = o.dst)) AS n_common)
+            SELECT n_old::BIGINT AS n_old, n_new::BIGINT AS n_new,
+                   n_added::BIGINT AS n_added,
+                   n_removed::BIGINT AS n_removed,
+                   n_common::BIGINT AS n_common,
+                   round(n_common::DOUBLE
+                         / nullif(n_common + n_added + n_removed, 0), 6)
+                     AS jaccard
+            FROM m
         """,
         # warm-start PR: old-graph chain (96% of und edges, its own deg/n)
         # then the full-graph chain seeded from o2, missing vids -> 1/n

@@ -252,3 +252,14 @@ def test_pagerank_warm_start(spark):
         .collect()[0][0]
     )
     assert dd == 0.0
+
+
+def test_edge_diff(spark):
+    old = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    new = edges_df(spark, [(0, 1), (2, 3), (3, 4), (4, 5)])
+    r = graph.edge_diff(old, new).collect()[0]
+    assert (r["n_old"], r["n_new"]) == (3, 4)
+    assert (r["n_added"], r["n_removed"], r["n_common"]) == (2, 1, 2)
+    assert abs(r["jaccard"] - 0.4) < 1e-9
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.edge_diff(e, e).collect()[0]["jaccard"] is None

@@ -212,3 +212,44 @@ def vertex_stats(oriented: DataFrame) -> DataFrame:
         F.max("dst").alias("max_nbr"),
         F.count("*").alias("out_deg"),
     )
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """One-row churn report between two canonical edge snapshots:
+    (n_old, n_new, n_added, n_removed, n_common, jaccard) — the
+    crawl-over-crawl diff read before deciding between an incremental
+    update (cc_incremental / pagerank warm start) and a full recompute.
+
+    Shape: two map-side-combined anti-join counts + one semi-join count,
+    folded with broadcast 1-row cross joins; jaccard = common / union,
+    6dp, NULL when both snapshots are empty."""
+    o = old_edges.select("src", "dst")
+    n = new_edges.select("src", "dst")
+    c_old = o.agg(F.count(F.lit(1)).alias("n_old"))
+    c_new = n.agg(F.count(F.lit(1)).alias("n_new"))
+    c_add = n.join(o, ["src", "dst"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_added")
+    )
+    c_rem = o.join(n, ["src", "dst"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    c_com = o.join(n, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    r = (
+        c_old.crossJoin(F.broadcast(c_new))
+        .crossJoin(F.broadcast(c_add))
+        .crossJoin(F.broadcast(c_rem))
+        .crossJoin(F.broadcast(c_com))
+    )
+    union = F.col("n_common") + F.col("n_added") + F.col("n_removed")
+    return r.select(
+        "n_old",
+        "n_new",
+        "n_added",
+        "n_removed",
+        "n_common",
+        F.round(
+            F.col("n_common") / F.nullif(union.cast("double"), F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )
