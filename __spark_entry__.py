@@ -317,6 +317,16 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_spectral_cut(spark, sf_dir):
+    """2-way spectral cut: sign of the Fiedler direction from 4 deflated
+    lazy power-iteration supersteps (md5 init, fixed-iteration
+    oracle-replayable mode); anchor-flipped so min vid is side 0."""
+    from tric_spark.operators.spectral import spectral_bipartition
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return spectral_bipartition(sym, iters=4)
+
+
 def q_edge_diff(spark, sf_dir):
     """Snapshot churn report between the 96%-edge 'previous day' graph and
     the full graph (the delta convention shared with cc_incremental /
@@ -1957,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "pagerank_warm": q_pagerank_warm,
         "edge_diff": q_edge_diff,
+        "spectral_cut": q_spectral_cut,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -2595,6 +2606,61 @@ def _salsa_sql(iters: int = 2) -> str:
         f" SELECT vid, round(hub + 1e-9, 6) AS hub,"
         f" round(auth + 1e-9, 6) AS auth"
         f" FROM s{iters}"
+    )
+
+
+def _spectral_sql(iters: int = 4, seed: int = 42) -> str:
+    """Deflated lazy power iteration replay (operators/spectral.py):
+    v1 = sqrt(d)/||sqrt(d)|| static; per round Nx via the 1/sqrt(du·dv)
+    weighted edges, lazy average, exact v1 deflation, L2 norm; sign of
+    the 6dp-rounded final component, anchor-flipped on min vid."""
+    ctes = [
+        "v1n AS (SELECT sqrt(sum(degree)) AS n FROM deg)",
+        f"""x0 AS MATERIALIZED (SELECT vid,
+              sqrt(degree)/(SELECT n FROM v1n) AS v1,
+              ('0x' || substr(md5('spec:{seed}:' || vid::VARCHAR),
+                              1, 12))::BIGINT / 281474976710656.0 - 0.5
+                AS x
+            FROM deg)""",
+        """wadj AS MATERIALIZED (SELECT s.src, s.dst,
+                1.0/sqrt(d1.degree * d2.degree) AS w
+              FROM sym s JOIN deg d1 ON d1.vid = s.src
+                         JOIN deg d2 ON d2.vid = s.dst)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT w.dst AS vid, sum(w.w * p.x) AS s
+                  FROM wadj w JOIN x{p} p ON p.vid = w.src GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (SELECT x.vid, x.v1,
+                  (x.x + coalesce(m.s, 0)) / 2 AS nx
+                FROM x{p} x LEFT JOIN m{i} m USING (vid))"""
+        )
+        ctes.append(f"p{i} AS (SELECT sum(nx * v1) AS p FROM l{i})")
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT vid, v1,
+                  nx - (SELECT p FROM p{i}) * v1 AS y FROM l{i})"""
+        )
+        ctes.append(
+            f"""n{i} AS (SELECT coalesce(nullif(sqrt(sum(y*y)), 0), 1.0)
+                  AS n FROM d{i})"""
+        )
+        ctes.append(
+            f"""x{i} AS MATERIALIZED (SELECT vid, v1, y / (SELECT n FROM n{i}) AS x
+                FROM d{i})"""
+        )
+    ctes.append(
+        f"""sides AS MATERIALIZED (SELECT vid,
+              CASE WHEN round(x, 6) >= 0 THEN 1 ELSE 0 END AS s
+            FROM x{iters})"""
+    )
+    ctes.append("anchor AS (SELECT s FROM sides ORDER BY vid LIMIT 1)")
+    return (
+        f"WITH {E}, {', '.join(ctes)}"
+        " SELECT vid, CASE WHEN (SELECT s FROM anchor) = 1"
+        " THEN 1 - s ELSE s END AS side FROM sides"
     )
 
 
@@ -4212,6 +4278,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vid, round(rank, 6) AS rank FROM r2
         """,
+        "spectral_cut": _spectral_sql(4),
         "edge_diff": f"""
             WITH {E},
             o AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),
