@@ -317,6 +317,15 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka truncation curve: exact top-5 recall of 64/32/16/8-dim
+    embedding prefixes against the full-width exact list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.truncation_recall_eval(
+        emb, emb.filter(F.col("vec_id") % 40 == 0)
+    )
+
+
 def q_spectral_cut(spark, sf_dir):
     """2-way spectral cut: sign of the Fiedler direction from 4 deflated
     lazy power-iteration supersteps (md5 init, fixed-iteration
@@ -1968,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": q_pagerank_warm,
         "edge_diff": q_edge_diff,
         "spectral_cut": q_spectral_cut,
+        "mrl_recall": q_mrl_recall,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -2607,6 +2617,55 @@ def _salsa_sql(iters: int = 2) -> str:
         f" round(auth + 1e-9, 6) AS auth"
         f" FROM s{iters}"
     )
+
+
+def _mrl_sql(dims=(64, 32, 16, 8), k: int = 5) -> str:
+    """Truncation recall replay: per width, exact top-k over prefix-sliced
+    vectors scored against the full-width exact list."""
+
+    def topk(name: str, vexpr: str, qexpr: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id, row_number() OVER (
+              PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC)
+              AS rank
+            FROM (SELECT q.query_id, c.vec_id,
+                         round(list_cosine_similarity({qexpr}, {vexpr}), 6)
+                           AS cos
+                  FROM e c, q WHERE c.vec_id <> q.query_id) s
+          ) WHERE rank <= {k}
+        )"""
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e"
+        " WHERE vec_id % 40 = 0)",
+        topk("full_t", "c.v", "q.qv"),
+        "ex AS (SELECT query_id, count(*) AS n_exact FROM full_t"
+        " GROUP BY 1)",
+    ]
+    selects = []
+    for d in dims:
+        ctes.append(topk(f"t{d}", f"c.v[1:{d}]", f"q.qv[1:{d}]"))
+        ctes.append(
+            f"""h{d} AS (SELECT f.query_id, count(*) AS n_hit
+              FROM full_t f JOIN t{d} a ON a.query_id = f.query_id
+                                       AND a.vec_id = f.vec_id
+              GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""p{d} AS (SELECT ex.query_id, ex.n_exact,
+                  coalesce(h.n_hit, 0) AS n_hit
+                FROM ex LEFT JOIN h{d} h USING (query_id))"""
+        )
+        selects.append(
+            f"SELECT {d} AS dims, count(*)::BIGINT AS n_queries,"
+            f" round(avg(n_hit::DOUBLE / n_exact), 6) AS recall_at_k,"
+            f" round(avg(CASE WHEN n_hit = n_exact THEN 1.0 ELSE 0.0 END),"
+            f" 6) AS frac_perfect FROM p{d}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _spectral_sql(iters: int = 4, seed: int = 42) -> str:
@@ -4279,6 +4338,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, round(rank, 6) AS rank FROM r2
         """,
         "spectral_cut": _spectral_sql(4),
+        "mrl_recall": _mrl_sql(),
         "edge_diff": f"""
             WITH {E},
             o AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),

@@ -156,3 +156,28 @@ def test_ann_recall_eval(spark):
     ).collect()[0]
     assert 0.0 <= part["recall_at_k"] <= 1.0
     assert part["min_recall"] <= part["recall_at_k"]
+
+
+def test_truncation_recall_eval(spark):
+    import math
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 8 == 0)
+    got = {
+        r["dims"]: r
+        for r in sim.truncation_recall_eval(
+            emb, qs, dims=(16, 8, 2), k=4
+        ).collect()
+    }
+    # full width is the identity comparison
+    assert math.isclose(got[16]["recall_at_k"], 1.0)
+    assert math.isclose(got[16]["frac_perfect"], 1.0)
+    # recall is monotone non-increasing as dims shrink (on average; with
+    # this seed strictly ordered)
+    assert got[8]["recall_at_k"] <= 1.0
+    assert got[2]["recall_at_k"] <= got[8]["recall_at_k"]
+    for r in got.values():
+        assert r["n_queries"] == 5

@@ -498,3 +498,61 @@ def ann_recall_eval(
             F.avg((F.col("n_hit") == F.col("n_exact")).cast("double")), 6
         ).alias("frac_perfect"),
     )
+
+
+def truncation_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (64, 32, 16, 8),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dims, n_queries, recall_at_k, frac_perfect) — exact top-k recall
+    of DIMENSION-TRUNCATED embeddings against the full-width exact list,
+    one row per prefix width: the Matryoshka-representation question
+    ("how many dims can storage drop before retrieval degrades?") as an
+    in-engine measurement.  The full width must be first in ``dims`` (its
+    row is the identity check, recall 1.0).
+
+    Shape: one full-width exact pass (checkpointed — every truncation
+    compares against it), then per width a brute-force pass over sliced
+    arrays; slicing is a zero-copy projection, so each pass scans the
+    same column narrower.  Rankings use the 6dp-rounded cosine + vec_id
+    tie-break throughout (the family's total-order rule)."""
+    full = (
+        ann_bruteforce_topk(embeddings, queries, k, id_col, vec_col)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ex = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for d in dims:
+        emb_d = embeddings.select(
+            id_col, F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        q_d = queries.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
+        top_d = ann_bruteforce_topk(emb_d, q_d, k, id_col, vec_col).select(
+            "query_id", "vec_id"
+        )
+        hit = (
+            full.join(top_d, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per = ex.join(hit, "query_id", "left").fillna(0, subset=["n_hit"])
+        rq = F.col("n_hit").cast("double") / F.col("n_exact")
+        row = per.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg(rq), 6).alias("recall_at_k"),
+            F.round(
+                F.avg((F.col("n_hit") == F.col("n_exact")).cast("double")), 6
+            ).alias("frac_perfect"),
+        ).select(
+            F.lit(d).alias("dims"),
+            "n_queries",
+            "recall_at_k",
+            "frac_perfect",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
