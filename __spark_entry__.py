@@ -317,6 +317,27 @@ def q_pagerank_iter2(spark, sf_dir):
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def q_host_conductance(spark, sf_dir):
+    """Per-bin conductance of the 16-way host-locality partition — the
+    Cheeger-quality companion of edge_cut (same md5 binning)."""
+    from tric_spark.operators.spectral import partition_conductance
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("vid"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("source")), 1, 12), 16, 10).cast(
+                "long"
+            ),
+            F.lit(16),
+        )
+        .cast("int")
+        .alias("side"),
+    )
+    return partition_conductance(sym, labels)
+
+
 def q_mrl_recall(spark, sf_dir):
     """Matryoshka truncation curve: exact top-5 recall of 64/32/16/8-dim
     embedding prefixes against the full-width exact list."""
@@ -1978,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_diff": q_edge_diff,
         "spectral_cut": q_spectral_cut,
         "mrl_recall": q_mrl_recall,
+        "host_conductance": q_host_conductance,
         "lexical_diversity": q_lexical_diversity,
         "daily_retention": q_daily_retention,
         "textrank_keywords": q_textrank_keywords,
@@ -4339,6 +4361,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spectral_cut": _spectral_sql(4),
         "mrl_recall": _mrl_sql(),
+        "host_conductance": f"""
+            WITH {E},
+            hb AS (SELECT doc_id AS vid,
+                          (('0x' || substr(md5(source), 1, 12))::BIGINT
+                           % 16)::INTEGER AS side
+                   FROM documents),
+            j AS (SELECT a.side AS sa, b.side AS sb
+                  FROM sym s JOIN hb a ON a.vid = s.src
+                             JOIN hb b ON b.vid = s.dst),
+            per AS (SELECT sa AS side, count(*) AS volume,
+                           sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END)
+                             AS cut_edges
+                    FROM j GROUP BY 1),
+            tot AS (SELECT sum(volume) AS tv FROM per)
+            SELECT side, volume::BIGINT AS volume,
+                   cut_edges::BIGINT AS cut_edges,
+                   round(cut_edges::DOUBLE
+                         / nullif(least(volume, t.tv - volume), 0), 6)
+                     AS conductance
+            FROM per, tot t
+        """,
         "edge_diff": f"""
             WITH {E},
             o AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),

@@ -72,3 +72,36 @@ def test_bipartition_path_splits_in_half(spark):
     labels = [sides[i] for i in range(10)]
     assert labels == sorted(labels) or labels == sorted(labels, reverse=True)
     assert 3 <= sum(labels) <= 7
+
+
+def test_partition_conductance(spark):
+    # two triangles joined by one bridge: cut=1 edge (counted twice in
+    # the symmetric table), vol(side0)=7, vol(side1)=7
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    sym = graph.symmetrize(graph.canonical_edges(edges_df(spark, pairs)))
+    labels = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "vid long, side int"
+    )
+    from tric_spark.operators.spectral import partition_conductance
+
+    rows = {r["side"]: r for r in partition_conductance(sym, labels).collect()}
+    for s in (0, 1):
+        assert rows[s]["volume"] == 7
+        assert rows[s]["cut_edges"] == 1
+        assert abs(rows[s]["conductance"] - round(1 / 7, 6)) < 1e-9
+
+    # the spectral cut of a 2-block SBM beats a parity labeling
+    e = sbm_edges(spark, 60, k=2, d_in=8, d_out=1, seed=4)
+    sym2 = graph.symmetrize(graph.canonical_edges(e.select("src", "dst")))
+    spec = spectral_bipartition(sym2, iters=12)
+    good = min(
+        r["conductance"] for r in partition_conductance(sym2, spec).collect()
+    )
+    arbitrary = spark.createDataFrame(
+        [(v, int(v < 30)) for v in range(60)], "vid long, side int"
+    )
+    bad = min(
+        r["conductance"]
+        for r in partition_conductance(sym2, arbitrary).collect()
+    )
+    assert good < bad

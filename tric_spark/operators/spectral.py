@@ -142,3 +142,41 @@ def spectral_bipartition(
         .otherwise(F.col("s"))
         .alias("side"),
     )
+
+
+def partition_conductance(
+    sym_edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """(side, volume, cut_edges, conductance) — per-side cut quality of
+    any 2-way (or k-way) labeling ``labels`` (vid, side): conductance =
+    cut(S) / min(vol(S), vol(V∖S)), the objective the Fiedler cut
+    approximates (Cheeger) and the number that turns spectral_bipartition
+    / host binning / louvain output into a comparable layout decision.
+
+    Shape: two label joins onto the symmetric edge table (each edge
+    counted from both endpoints — so cut edges are double-counted exactly
+    like volumes, and the ratio is unbiased), one groupBy(side), one
+    broadcast 1-row total fold.  6dp-rounded."""
+    la = labels.select(F.col("vid").alias("src"), F.col("side").alias("sa"))
+    lb = labels.select(F.col("vid").alias("dst"), F.col("side").alias("sb"))
+    j = sym_edges.join(la, "src").join(lb, "dst")
+    per = j.groupBy(F.col("sa").alias("side")).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("cut_edges"),
+    )
+    tot = per.agg(F.sum("volume").alias("_tv"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "side",
+        "volume",
+        "cut_edges",
+        F.round(
+            F.col("cut_edges")
+            / F.nullif(
+                F.least(
+                    F.col("volume"), F.col("_tv") - F.col("volume")
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("conductance"),
+    )
