@@ -1708,6 +1708,15 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS match candidates: document pairs sharing >= 2 distinct
+    winnowing fingerprints (same cap assumption as the LSH oracles —
+    Spark runs the default max_bucket guard, no sf0.01 cell trips it)."""
+    from tric_spark.operators.winnow import winnow_candidates
+
+    return winnow_candidates(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """First 3 BPE merge rules trained over the corpus's whitespace word
     types (weighted word-type BPE, Sennrich et al. 2016) — the tokenizer-
@@ -1982,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "double_sweep": q_double_sweep,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -6077,6 +6087,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, -(m.nj) AS pos, m.h AS fp
             FROM w WHERE wn = 4
+        """,
+        # MOSS candidates: distinct (doc, fp) self-joined on the
+        # fingerprint, >= 2 shared
+        "winnow_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(
+                         list_slice(toks, i, i + 3), ' ')), 1, 12))::BIGINT
+                       AS h
+              FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 4
+            ),
+            w AS (
+              SELECT doc_id,
+                     min(struct_pack(h := h, nj := -pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                     count(*) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM g
+            ),
+            fps AS MATERIALIZED (
+              SELECT DISTINCT doc_id, m.h AS fp FROM w WHERE wn = 4
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+            FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # condensation layering: exact longest path via a recursive CTE
         # over the (acyclic) quotient graph — the Spark side's monotone
