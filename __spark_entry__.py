@@ -1708,6 +1708,15 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_link_recs(spark, sf_dir):
+    """Per-page top-10 predicted NEW links by Adamic-Adar (existing edges
+    excluded; rounded-score + candidate-id total order)."""
+    from tric_spark.operators.linkpred import predicted_links_topk
+
+    _, sym, _, _ = _graph_tables(spark, sf_dir)
+    return predicted_links_topk(sym, k=10)
+
+
 def q_winnow_pairs(spark, sf_dir):
     """MOSS match candidates: document pairs sharing >= 2 distinct
     winnowing fingerprints (same cap assumption as the LSH oracles —
@@ -1992,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep": q_double_sweep,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "link_recs": q_link_recs,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -5242,6 +5252,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        # per-vid top-k NEW-link recommendations: the AA wedge, existing
+        # canonical edges anti-joined out, ranked on the rounded score
+        "link_recs": f"""
+            WITH {E},
+            ez AS (SELECT e.dst AS z, e.src AS leaf, d.degree AS dz
+                   FROM sym e JOIN deg d ON d.vid = e.dst),
+            cmn AS (
+              SELECT l.leaf AS a, r.leaf AS b,
+                     round(sum(1.0 / ln(l.dz)), 6) AS aa
+              FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
+              GROUP BY l.leaf, r.leaf
+              HAVING count(*) >= 2
+            ),
+            newp AS (
+              SELECT c.* FROM cmn c
+              WHERE NOT EXISTS (SELECT 1 FROM und u
+                                WHERE u.src = c.a AND u.dst = c.b)
+            ),
+            sides AS (
+              SELECT a AS vid, b AS candidate, aa FROM newp
+              UNION ALL SELECT b, a, aa FROM newp
+            )
+            SELECT vid, candidate, aa, rnk FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vid ORDER BY aa DESC, candidate ASC) AS rnk
+              FROM sides
+            ) WHERE rnk <= 10
         """,
         # Jaccard/cosine/PA: the same wedge as adamic_adar plus true-degree
         # joins on both endpoints (operators/linkpred.py::jaccard_scores)
