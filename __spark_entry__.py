@@ -1708,6 +1708,34 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_related_fused(spark, sf_dir):
+    """Ensemble 'related pages': reciprocal-rank fusion of the
+    link-structure ranker (co-citation top-5) and the embedding ranker
+    (exact cosine top-5) over a 1-in-10 query sample — scores are
+    incomparable, ranks fuse."""
+    from tric_spark.operators.cocitation import related_pages_topk
+    from tric_spark.operators.fusion import rrf_fuse
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    cos = similarity.ann_bruteforce_topk(emb, qs, k=5).select(
+        "query_id",
+        F.col("vec_id").alias("item"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    rel = (
+        related_pages_topk(doc_edges_directed(spark, sf_dir), k=5, min_common=2)
+        .filter(F.col("vid") % 10 == 0)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("related").alias("item"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
+    return rrf_fuse([cos, rel], topk=5)
+
+
 def q_link_recs(spark, sf_dir):
     """Per-page top-10 predicted NEW links by Adamic-Adar (existing edges
     excluded; rounded-score + candidate-id total order)."""
@@ -2002,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "link_recs": q_link_recs,
+        "related_fused": q_related_fused,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -5252,6 +5281,52 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        # RRF ensemble: cosine top-5 + co-citation top-5, 1/(60+rank)
+        "related_fused": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2
+                   WHERE vec_id % 10 = 0),
+            cosl AS (
+              SELECT query_id, vec_id AS item, rank FROM (
+                SELECT s.query_id, s.vec_id, row_number() OVER (
+                  PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC)
+                  AS rank
+                FROM (SELECT q2.query_id, c.vec_id,
+                             round(list_cosine_similarity(q2.qv, c.v), 6)
+                               AS cos
+                      FROM e2 c, q2 WHERE c.vec_id <> q2.query_id) s
+              ) WHERE rank <= 5
+            ),
+            pairs AS (
+              SELECT l.dst AS a, r.dst AS b, count(*) AS common
+              FROM dlinks l JOIN dlinks r ON r.src = l.src AND l.dst < r.dst
+              GROUP BY l.dst, r.dst HAVING count(*) >= 2
+            ),
+            rsides AS (
+              SELECT a AS vid, b AS related, common FROM pairs
+              UNION ALL SELECT b, a, common FROM pairs
+            ),
+            rell AS (
+              SELECT vid AS query_id, related AS item, rnk AS rank FROM (
+                SELECT vid, related, row_number() OVER (PARTITION BY vid
+                  ORDER BY common DESC, related ASC) AS rnk
+                FROM rsides
+              ) WHERE rnk <= 5 AND vid % 10 = 0
+            ),
+            u AS (SELECT * FROM cosl UNION ALL SELECT * FROM rell),
+            fused AS (
+              SELECT query_id, item, count(*) AS n_lists,
+                     round(sum(1.0 / (60 + rank)), 6) AS rrf
+              FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, item, n_lists::BIGINT AS n_lists, rrf, rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, item ASC) AS rnk
+              FROM fused
+            ) WHERE rnk <= 5
         """,
         # per-vid top-k NEW-link recommendations: the AA wedge, existing
         # canonical edges anti-joined out, ranked on the rounded score
