@@ -323,6 +323,19 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     )
     timed("classify_docs", lambda: classify_docs(docs).count())
 
+    # NEW r5-final session 7: tokenizer training (3 weighted word-type
+    # BPE merges — corpus scanned once, rounds at word-type scale), the
+    # spectral 2-way cut (4 deflated lazy power supersteps), and the
+    # co-visitation CF wedge over the event log's JSON payload
+    from tric_spark.operators.bpe import bpe_train
+    from tric_spark.operators.covisit import covisitation_topk
+    from tric_spark.operators.spectral import spectral_bipartition
+
+    timed("bpe3", lambda: bpe_train(docs, rounds=3)[0].count())
+    timed("spectral4", lambda: spectral_bipartition(sym, iters=4).count())
+    events = load_table(spark, sf_dir, "events")
+    timed("covis_topk", lambda: covisitation_topk(events, k=3).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]
