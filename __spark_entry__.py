@@ -1708,6 +1708,19 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_ingest(spark, sf_dir):
+    """Daily-ingest dedup screen: docs with doc_id % 5 == 0 are the 'new
+    batch', the rest the existing corpus — exact md5 membership + LSH band
+    probe AGAINST the corpus (never batch x batch). Same cap assumption as
+    the other LSH oracles."""
+    from tric_spark.operators.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup_against(corpus, new)
+
+
 def q_related_fused(spark, sf_dir):
     """Ensemble 'related pages': reciprocal-rank fusion of the
     link-structure ranker (co-citation top-5) and the embedding ranker
@@ -2031,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "link_recs": q_link_recs,
         "related_fused": q_related_fused,
+        "dedup_ingest": q_dedup_ingest,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -5281,6 +5295,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        # ingest screen: exact md5 membership + 4-band minhash probe of
+        # the batch AGAINST the corpus bands (A join B, never a self-join)
+        "dedup_ingest": f"""
+            WITH {_TOKS}, {_GRAMS},
+            cg AS (SELECT * FROM grams WHERE doc_id % 5 <> 0),
+            ng AS (SELECT * FROM grams WHERE doc_id % 5 = 0),
+            csig AS MATERIALIZED (
+              SELECT doc_id, {", ".join(_lsh_band_sql(b) for b in range(4))}
+              FROM cg
+            ),
+            nsig AS MATERIALIZED (
+              SELECT doc_id, {", ".join(_lsh_band_sql(b) for b in range(4))}
+              FROM ng
+            ),
+            near AS (
+              SELECT DISTINCT a, cand FROM (
+                {" UNION ALL ".join(
+                    f"SELECT x.doc_id AS a, y.doc_id AS cand"
+                    f" FROM nsig x JOIN csig y ON x.band{b} = y.band{b}"
+                    for b in range(4)
+                )}
+              )
+            ),
+            nn AS (SELECT a AS doc_id, count(*) AS n_near FROM near
+                   GROUP BY 1),
+            ex AS (
+              SELECT t.doc_id,
+                     EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 5 <> 0
+                               AND c.text IS NOT NULL
+                               AND md5(c.text) = md5(t.text)) AS exact_dup
+              FROM documents t
+              WHERE t.doc_id % 5 = 0 AND t.text IS NOT NULL
+            )
+            SELECT e.doc_id, e.exact_dup,
+                   coalesce(nn.n_near, 0)::BIGINT AS n_near_candidates,
+                   CASE WHEN e.exact_dup THEN 'exact'
+                        WHEN coalesce(nn.n_near, 0) > 0 THEN 'near'
+                        ELSE 'unique' END AS verdict
+            FROM ex e LEFT JOIN nn USING (doc_id)
         """,
         # RRF ensemble: cosine top-5 + co-citation top-5, 1/(60+rank)
         "related_fused": f"""

@@ -502,3 +502,86 @@ def neardup_eval(
             ).alias("precision"),
         )
     )
+
+
+def dedup_against(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id, exact_dup, n_near_candidates, verdict) — screen a NEW
+    batch of documents against an EXISTING corpus: the daily-ingest dedup
+    path.  Nothing re-clusters the corpus; the batch probes it.
+
+    - exact: md5-of-text membership in the corpus (one left-semi-shaped
+      join, expressed as a left join + flag so the row survives either
+      way);
+    - near: the batch's LSH bands joined against the CORPUS bands (a
+      band-keyed A⋈B probe, not a self-join — candidate volume is
+      |batch| × collision rate, never corpus²), with the library-wide
+      ``max_bucket`` guard applied to the corpus side (the only side a
+      hot band can explode on);
+    - verdict: 'exact' | 'near' (≥1 candidate) | 'unique'.
+
+    100-TB shape: the corpus signature/band table is the precomputed,
+    bucketed artifact a production pipeline maintains incrementally; the
+    per-day cost is the batch-sized probe on the right-hand partitioning.
+    """
+    c = corpus.filter(F.col("text").isNotNull())
+    nw = new_docs.filter(F.col("text").isNotNull())
+    chash = c.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    nhash = nw.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    exact = nhash.join(
+        chash.withColumn("_in", F.lit(1)), "h", "left"
+    ).select("doc_id", (F.col("_in").isNotNull()).alias("exact_dup"))
+
+    def bands(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs, k, ngram)
+        n_bands = k // rows_per_band
+        frames = []
+        for b in range(n_bands):
+            cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            frames.append(
+                sig.select(
+                    F.col("doc_id").alias("id"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat(*cols).cast("binary")).alias("band"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    cb = bands(c)
+    if max_bucket is not None:
+        sizes = cb.groupBy("band_idx", "band").agg(F.count("*").alias("n"))
+        big = sizes.filter(F.col("n") > max_bucket).select("band_idx", "band")
+        cb = cb.join(big, ["band_idx", "band"], "left_anti")
+    nb = bands(nw)
+    near = (
+        nb.join(
+            cb.select("band_idx", "band", F.col("id").alias("cand")),
+            ["band_idx", "band"],
+        )
+        .select(F.col("id").alias("doc_id"), "cand")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_candidates"))
+    )
+    out = exact.join(near, "doc_id", "left").fillna(
+        0, subset=["n_near_candidates"]
+    )
+    verdict = (
+        F.when(F.col("exact_dup"), F.lit("exact"))
+        .when(F.col("n_near_candidates") > 0, F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    return out.select(
+        "doc_id", "exact_dup", "n_near_candidates", verdict.alias("verdict")
+    )
