@@ -1708,6 +1708,19 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_hourly_distinct_users(spark, sf_dir):
+    """Approx distinct users per hour via the per-key HLL — the sketch
+    whose per-key state is 16 registers regardless of cardinality (the
+    dashboard shape for unbounded logs)."""
+    from tric_spark.operators.anf import hll_count_distinct_by
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    r = hll_count_distinct_by(ev, "hour", "user_id")
+    return r.select(F.col("key").alias("hour"), "est", "n_rows")
+
+
 def q_dedup_ingest(spark, sf_dir):
     """Daily-ingest dedup screen: docs with doc_id % 5 == 0 are the 'new
     batch', the rest the existing corpus — exact md5 membership + LSH band
@@ -2045,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_recs": q_link_recs,
         "related_fused": q_related_fused,
         "dedup_ingest": q_dedup_ingest,
+        "hourly_distinct_users": q_hourly_distinct_users,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -2751,6 +2765,33 @@ def _mrl_sql(dims=(64, 32, 16, 8), k: int = 5) -> str:
             f" 6) AS frac_perfect FROM p{d}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _hll_by_sql(rows_cte: str, seed: str = "hll") -> str:
+    """Per-key HLL replay (operators/anf.py::hll_count_distinct_by):
+    ``rows_cte`` must define rows(key, x); registers/estimate identical to
+    the hll_distinct_tokens oracle, grouped by key."""
+    h1 = f"('0x' || substr(md5('{seed}:' || x), 1, 1))::BIGINT"
+    h2 = f"('0x' || substr(md5('{seed}:' || x), 2, 12))::BIGINT"
+    rho = f"CASE WHEN {h2} = 0 THEN 49 ELSE 49 - length(bin({h2})) END"
+    regs = ", ".join(
+        f"CASE WHEN {h1} = {k} THEN {rho} ELSE 0 END AS r{k}"
+        for k in range(16)
+    )
+    maxes = ", ".join(f"max(r{k}) AS r{k}" for k in range(16))
+    z = " + ".join(f"power(2.0, -r{k})" for k in range(16))
+    v = " + ".join(f"CASE WHEN r{k} = 0 THEN 1 ELSE 0 END" for k in range(16))
+    return f"""
+        WITH {rows_cte},
+        rr AS (SELECT key, {regs} FROM rows),
+        agg AS (SELECT key, {maxes}, count(*) AS n FROM rr GROUP BY key),
+        est AS (SELECT key,
+                       CASE WHEN (0.673 * 256) / ({z}) <= 40 AND ({v}) > 0
+                            THEN 16.0 * ln(16.0 / ({v}))
+                            ELSE (0.673 * 256) / ({z}) END AS e, n
+                FROM agg)
+        SELECT key AS hour, round(e, 6) AS est, n::BIGINT AS n_rows FROM est
+    """
 
 
 def _spectral_sql(iters: int = 4, seed: int = 42) -> str:
@@ -5296,6 +5337,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
         """,
+        "hourly_distinct_users": _hll_by_sql(
+            "rows AS (SELECT date_trunc('hour', ts) AS key,"
+            " user_id::VARCHAR AS x FROM events)"
+        ),
         # ingest screen: exact md5 membership + 4-band minhash probe of
         # the batch AGAINST the corpus bands (A join B, never a self-join)
         "dedup_ingest": f"""

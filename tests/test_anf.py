@@ -215,3 +215,35 @@ def test_hll_duplicates_dont_move_estimate(spark):
     ea = hll_count_distinct(a, "x").collect()[0].est
     eb = hll_count_distinct(b, "x").collect()[0].est
     assert ea == eb
+
+
+def test_hll_count_distinct_by(spark):
+    import hashlib
+
+    from tric_spark.operators.anf import hll_count_distinct_by
+
+    rows = [("a", str(i % 7)) for i in range(50)] + [
+        ("b", str(i) ) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, x string")
+    got = {r["key"]: r for r in hll_count_distinct_by(df, "k", "x").collect()}
+
+    def py_est(vals):
+        regs = [0] * 16
+        for v in set(vals):
+            h = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+            j = int(h[0], 16)
+            field = int(h[1:13], 16)
+            rho = 49 if field == 0 else 49 - len(bin(field)[2:])
+            regs[j] = max(regs[j], rho)
+        z = sum(2.0 ** -r for r in regs)
+        vz = sum(1 for r in regs if r == 0)
+        raw = 0.673 * 256 / z
+        if raw <= 40 and vz > 0:
+            import math
+            return 16.0 * math.log(16.0 / vz)
+        return raw
+
+    assert got["a"]["n_rows"] == 50
+    assert abs(got["a"]["est"] - round(py_est([str(i % 7) for i in range(50)]), 6)) < 1e-6
+    assert abs(got["b"]["est"] - round(py_est([str(i) for i in range(40)]), 6)) < 1e-6

@@ -223,3 +223,26 @@ def hll_count_distinct(
         F.round(_estimate_col(), 6).alias("est"),
         F.col("_n").alias("n_rows"),
     )
+
+
+def hll_count_distinct_by(
+    df: DataFrame, key_col: str, col: str, seed: str = "hll"
+) -> DataFrame:
+    """(key, est, n_rows) — the per-key form of :func:`hll_count_distinct`:
+    HLL registers accumulated inside ONE groupBy(key), which is the
+    property that makes the sketch worth having at scale — the state per
+    key is m registers REGARDLESS of cardinality, the partial aggregates
+    merge map-side, and re-keying (hour → day rollup) is another max()
+    merge of the same registers, never a re-scan.  The standard shape for
+    "distinct users per window/host/label" dashboards over unbounded
+    logs."""
+    rows = df.select(F.col(key_col).alias("key"), *_init_reg_cols(F.col(col), seed))
+    regs = rows.groupBy("key").agg(
+        *[F.max(r).alias(r) for r in _REGS],
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return regs.select(
+        "key",
+        F.round(_estimate_col(), 6).alias("est"),
+        F.col("_n").alias("n_rows"),
+    )
