@@ -1708,6 +1708,18 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_value_quantiles_by_type(spark, sf_dir):
+    """Exact per-event-type value percentiles (percentile_disc per key) —
+    the latency-dashboard shape, rank-based over per-group value
+    histograms."""
+    from tric_spark.operators.textstats import exact_quantiles_by
+
+    r = exact_quantiles_by(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+    return r.select(F.col("key").alias("event_type"), "pct", "value")
+
+
 def q_hourly_distinct_users(spark, sf_dir):
     """Approx distinct users per hour via the per-key HLL — the sketch
     whose per-key state is 16 registers regardless of cardinality (the
@@ -2059,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_fused": q_related_fused,
         "dedup_ingest": q_dedup_ingest,
         "hourly_distinct_users": q_hourly_distinct_users,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -5336,6 +5349,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        "value_quantiles_by_type": """
+            WITH counts AS (SELECT event_type AS k, value AS v,
+                                   count(*) AS cnt
+                            FROM events GROUP BY 1, 2),
+            cum AS (SELECT k, v,
+                           sum(cnt) OVER (PARTITION BY k ORDER BY v) AS cum
+                    FROM counts),
+            tot AS (SELECT event_type AS k, count(*) AS n FROM events
+                    GROUP BY 1),
+            ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+            SELECT c.k AS event_type, p.pct, min(c.v) AS value
+            FROM cum c JOIN tot t USING (k), ps p
+            WHERE c.cum >= ceil(p.pct / 100.0 * t.n)
+            GROUP BY 1, 2
         """,
         "hourly_distinct_users": _hll_by_sql(
             "rows AS (SELECT date_trunc('hour', ts) AS key,"

@@ -62,3 +62,26 @@ def test_mix_weights_alpha1_is_proportional(spark):
         for r in source_mix_weights(_docs_df(spark, rows), alpha=1.0).collect()
     }
     assert got == {"s1": 0.25, "s2": 0.75}
+
+
+def test_exact_quantiles_by(spark):
+    import math
+
+    from tric_spark.operators.textstats import exact_quantiles_by
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", float(v * 10)) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        (r["key"], r["pct"]): r["value"]
+        for r in exact_quantiles_by(df, "k", "value").collect()
+    }
+
+    def disc(vals, p):
+        vals = sorted(vals)
+        return vals[math.ceil(p / 100.0 * len(vals)) - 1]
+
+    for p in (25, 50, 75, 90, 99):
+        assert got[("a", p)] == disc([float(v) for v in range(1, 101)], p)
+        assert got[("b", p)] == disc([10.0, 20.0, 30.0, 40.0], p)

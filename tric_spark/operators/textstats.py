@@ -448,3 +448,39 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("actual", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """(key, pct, value) — the per-group form of :func:`exact_quantiles`
+    (percentile_disc per key): the latency/size dashboard shape. Same
+    scale argument — the cumulative window runs over each group's VALUE
+    histogram (partitioned by key, so no global single-partition window
+    at all here), and percentiles fall out of one rank filter."""
+    spark = df.sparkSession
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select("key", "v", F.sum("cnt").over(w).alias("cum"))
+    tot = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ps = spark.createDataFrame([(int(p),) for p in pcts], "pct int")
+    return (
+        cum.join(tot, "key")
+        .crossJoin(F.broadcast(ps))
+        .filter(
+            F.col("cum") >= F.ceil(F.col("pct") / F.lit(100.0) * F.col("n"))
+        )
+        .groupBy("key", "pct")
+        .agg(F.min("v").alias("value"))
+    )
