@@ -1708,6 +1708,32 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_robots_gate(spark, sf_dir):
+    """Robots.txt longest-prefix gate over deterministic per-doc paths —
+    REP RFC 9309 semantics: longest matching prefix wins, allow wins a
+    length tie, no match = allowed."""
+    from tric_spark.operators.urlnorm import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = F.col("doc_id")
+    path = (
+        F.when(r % 7 == 0, F.concat(F.lit("/admin/p"), (r % 25).cast("string")))
+        .when(r % 5 == 0, F.concat(F.lit("/static/img"), (r % 25).cast("string")))
+        .when(r % 3 == 0, F.concat(F.lit("/p/9"), (r % 10).cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), (r % 25).cast("string")))
+    )
+    rules = [
+        ("/admin", False),
+        ("/static", False),
+        ("/p/", True),
+        ("/", True),
+        ("/p/9", False),
+    ]
+    return robots_filter(
+        docs.select("doc_id", path.alias("path")), rules
+    )
+
+
 def q_value_quantiles_by_type(spark, sf_dir):
     """Exact per-event-type value percentiles (percentile_disc per key) —
     the latency-dashboard shape, rank-based over per-group value
@@ -2072,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         "hourly_distinct_users": q_hourly_distinct_users,
         "value_quantiles_by_type": q_value_quantiles_by_type,
+        "robots_gate": q_robots_gate,
         "bpe_merges": q_bpe_merges,
         "heaps_law": q_heaps_law,
         "quality_budget": q_quality_budget,
@@ -5349,6 +5376,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ez l JOIN ez r ON l.z = r.z AND l.leaf < r.leaf
             GROUP BY l.leaf, r.leaf
             HAVING count(*) >= 2
+        """,
+        # robots gate: same fold as urlnorm.robots_verdict — the filtered
+        # rule list is transformed to (l, allow) so the init struct types
+        # match for list_reduce
+        "robots_gate": """
+            WITH p AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                       THEN '/admin/p' || (doc_id % 25)::VARCHAR
+                     WHEN doc_id % 5 = 0
+                       THEN '/static/img' || (doc_id % 25)::VARCHAR
+                     WHEN doc_id % 3 = 0
+                       THEN '/p/9' || (doc_id % 10)::VARCHAR
+                     ELSE '/p/' || (doc_id % 25)::VARCHAR END AS path
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, path,
+                list_reduce(
+                  list_prepend(struct_pack(l := -1, allow := true),
+                    list_transform(
+                      list_filter(
+                        [struct_pack(p := '/admin', allow := false, l := 6),
+                         struct_pack(p := '/static', allow := false, l := 7),
+                         struct_pack(p := '/p/', allow := true, l := 3),
+                         struct_pack(p := '/', allow := true, l := 1),
+                         struct_pack(p := '/p/9', allow := false, l := 4)],
+                        r -> starts_with(path, r.p)),
+                      r -> struct_pack(l := r.l, allow := r.allow))),
+                  (acc, r) -> CASE WHEN r.l > acc.l
+                                     OR (r.l = acc.l AND r.allow)
+                              THEN struct_pack(l := r.l, allow := r.allow)
+                              ELSE acc END
+                ) AS best
+              FROM p
+            )
+            SELECT doc_id, path, best.allow AS allowed FROM v
         """,
         "value_quantiles_by_type": """
             WITH counts AS (SELECT event_type AS k, value AS v,

@@ -83,3 +83,34 @@ def test_pii_no_false_positives(spark):
     )
     r = pii_scan(df).collect()[0]
     assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (0, 0, 0)
+
+
+def test_robots_filter(spark):
+    from pyspark.sql import functions as F
+
+    from tric_spark.operators.urlnorm import robots_filter
+
+    rules = [
+        ("/admin", False),
+        ("/static", False),
+        ("/p/", True),
+        ("/", True),
+        ("/p/9", False),
+    ]
+    paths = [
+        (0, "/p/3"),          # /p/ allow (len 3) beats / allow
+        (1, "/p/9"),          # /p/9 deny (len 4) beats /p/ allow
+        (2, "/admin/x"),      # deny
+        (3, "/other"),        # / allow
+        (4, "x-no-slash"),    # no match -> default allow
+        (5, "/p/93"),         # /p/9 prefix still matches -> deny
+    ]
+    df = spark.createDataFrame(paths, "doc_id long, path string")
+    got = {r["doc_id"]: r["allowed"] for r in robots_filter(df, rules).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True, 5: False}
+
+    # allow wins a length tie regardless of rule order
+    tie = [("/a", False), ("/a", True)]
+    one = spark.createDataFrame([(0, "/a/x")], "doc_id long, path string")
+    assert robots_filter(one, tie).collect()[0]["allowed"]
+    assert robots_filter(one, tie[::-1]).collect()[0]["allowed"]

@@ -118,3 +118,48 @@ def url_dedup_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.count_distinct(F.col(url_col)).alias("n_raw_variants"),
         )
     )
+
+
+def robots_verdict(path: Column, rules: list[tuple[str, bool]]) -> Column:
+    """Boolean allow/deny for ``path`` under robots.txt longest-match
+    semantics (Google's rule, REP RFC 9309 §2.2.2): the most specific
+    (longest) matching path prefix wins; an Allow wins a length tie; no
+    matching rule means allowed.
+
+    The rule set ships as an array LITERAL (robots files are tiny), so
+    the whole verdict is one filter + one fold per row — JVM expressions,
+    no join, replayable with the same lambdas in SQL.  The fold's
+    tie/ordering logic is order-independent (strictly-longer replaces;
+    equal length replaces only when flipping to allow), so rule-array
+    order never changes the verdict."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.lit(bool(a)).alias("allow"),
+                F.lit(len(p)).alias("l"),
+            )
+            for p, a in rules
+        ]
+    )
+    matches = F.filter(arr, lambda r: F.startswith(path, r["p"]))
+    best = F.aggregate(
+        matches,
+        F.expr("named_struct('l', -1, 'allow', true)"),
+        lambda acc, r: F.when(
+            (r["l"] > acc["l"]) | ((r["l"] == acc["l"]) & r["allow"]),
+            F.struct(r["l"].alias("l"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return best["allow"]
+
+
+def robots_filter(
+    df: DataFrame, rules: list[tuple[str, bool]], path_col: str = "path"
+) -> DataFrame:
+    """``df`` plus an ``allowed`` column from :func:`robots_verdict` —
+    the crawl-side politeness gate applied as a map-only expression (the
+    HOF is instantiated exactly ONCE in this projection — engine lore)."""
+    return df.withColumn(
+        "allowed", robots_verdict(F.col(path_col), rules)
+    )
