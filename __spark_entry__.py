@@ -2082,8 +2082,20 @@ def q_url_canonicalize(spark, sf_dir):
     return url_dedup_stats(docs.select(_messy_url().alias("url")))
 
 
+def q_cpm_communities(spark, sf_dir):
+    """Clique-percolation (CPM k=3) OVERLAPPING communities: hash-min CC
+    over the triangle-edge adjacency graph (two triangles percolate when
+    they share an edge); a vertex appears once per community it touches,
+    community = min src*1e7+dst edge-key."""
+    from tric_spark.operators.percolation import triangle_percolation
+
+    canon, *_ = _graph_tables(spark, sf_dir)
+    return triangle_percolation(canon)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cpm_communities": q_cpm_communities,
         "dag_layers": q_dag_layers,
         "pii_scan": q_pii_scan,
         "url_canonicalize": q_url_canonicalize,
@@ -3778,6 +3790,43 @@ def _anf_sql(max_h: int = 6, seed: str = "anf") -> str:
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
+        # CPM k=3: triangle-edge keys src*1e7+dst, pairwise-connected per
+        # triangle, recursive-CTE reachability closure, community = min
+        # reachable key (mirrors operators/percolation.py; closure is
+        # per-component quadratic — fine at sf0.01's 38-triangle graph)
+        "cpm_communities": f"""
+            WITH RECURSIVE {E}, {_TRI},
+            tek AS MATERIALIZED (
+              SELECT i*10000000 + j AS e1, i*10000000 + k AS e2,
+                     j*10000000 + k AS e3 FROM tri
+            ),
+            ep AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT e1 AS a, e2 AS b FROM tek
+                UNION ALL SELECT e1, e3 FROM tek
+                UNION ALL SELECT e2, e3 FROM tek)
+            ),
+            sp AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM ep
+              UNION ALL SELECT b, a FROM ep
+            ),
+            ek AS MATERIALIZED (
+              SELECT DISTINCT e FROM (
+                SELECT e1 AS e FROM tek
+                UNION ALL SELECT e2 FROM tek
+                UNION ALL SELECT e3 FROM tek)
+            ),
+            r(v, x) AS (
+              SELECT e, e FROM ek
+              UNION
+              SELECT s.dst, r.x FROM sp s JOIN r ON r.v = s.src
+            ),
+            comp AS (SELECT v, min(x) AS community FROM r GROUP BY v)
+            SELECT DISTINCT vid, community FROM (
+              SELECT v // 10000000 AS vid, community FROM comp
+              UNION ALL
+              SELECT v % 10000000, community FROM comp)
+        """,
         "edges_canonical": f"WITH {E} SELECT src, dst FROM und",
         "degree_histogram": f"""
             WITH {E}
