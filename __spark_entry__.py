@@ -2093,9 +2093,19 @@ def q_cpm_communities(spark, sf_dir):
     return triangle_percolation(canon)
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM behavioral segmentation grid: per-user recency/frequency/
+    monetary quartile scores (exact histogram thresholds, no global ntile
+    window) aggregated to (r,f,m) segment counts + avg monetary."""
+    from tric_spark.operators.rfm import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cpm_communities": q_cpm_communities,
+        "rfm_segments": q_rfm_segments,
         "dag_layers": q_dag_layers,
         "pii_scan": q_pii_scan,
         "url_canonicalize": q_url_canonicalize,
@@ -3826,6 +3836,54 @@ def oracle_sql() -> dict[str, str]:
               SELECT v // 10000000 AS vid, community FROM comp
               UNION ALL
               SELECT v % 10000000, community FROM comp)
+        """,
+        # RFM: quartile thresholds via the cum-rank >= ceil(p*n) rule on
+        # each per-user metric's VALUE histogram (monetary rounded 6dp
+        # before thresholding), score = 1 + strict-greater comparisons
+        "rfm_segments": """
+            WITH pu AS MATERIALIZED (
+              SELECT user_id, max(ts) AS rec, count(*) AS freq,
+                     round(coalesce(sum(value), 0), 6) AS mon
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM pu),
+            qr AS (
+              SELECT min(CASE WHEN cum >= ceil(0.25*n) THEN v END) AS q1,
+                     min(CASE WHEN cum >= ceil(0.50*n) THEN v END) AS q2,
+                     min(CASE WHEN cum >= ceil(0.75*n) THEN v END) AS q3
+              FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+                    FROM (SELECT rec AS v, count(*) AS c FROM pu
+                          GROUP BY 1)), n
+            ),
+            qf AS (
+              SELECT min(CASE WHEN cum >= ceil(0.25*n) THEN v END) AS q1,
+                     min(CASE WHEN cum >= ceil(0.50*n) THEN v END) AS q2,
+                     min(CASE WHEN cum >= ceil(0.75*n) THEN v END) AS q3
+              FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+                    FROM (SELECT freq AS v, count(*) AS c FROM pu
+                          GROUP BY 1)), n
+            ),
+            qm AS (
+              SELECT min(CASE WHEN cum >= ceil(0.25*n) THEN v END) AS q1,
+                     min(CASE WHEN cum >= ceil(0.50*n) THEN v END) AS q2,
+                     min(CASE WHEN cum >= ceil(0.75*n) THEN v END) AS q3
+              FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+                    FROM (SELECT mon AS v, count(*) AS c FROM pu
+                          GROUP BY 1)), n
+            ),
+            scored AS (
+              SELECT 1 + (rec > qr.q1)::INT + (rec > qr.q2)::INT
+                       + (rec > qr.q3)::INT AS r_score,
+                     1 + (freq > qf.q1)::INT + (freq > qf.q2)::INT
+                       + (freq > qf.q3)::INT AS f_score,
+                     1 + (mon > qm.q1)::INT + (mon > qm.q2)::INT
+                       + (mon > qm.q3)::INT AS m_score,
+                     mon
+              FROM pu, qr, qf, qm
+            )
+            SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
+                   round(avg(mon), 6) AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3
         """,
         "edges_canonical": f"WITH {E} SELECT src, dst FROM und",
         "degree_histogram": f"""
