@@ -2102,10 +2102,29 @@ def q_rfm_segments(spark, sf_dir):
     return rfm_segments(load_table(spark, sf_dir, "events"))
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health stats (n/mean/std/min/max + dead
+    flag) — one posexplode pass, groupBy(dim), output = vector width."""
+    from tric_spark.operators.embstats import embedding_dim_stats
+
+    return embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_triangle_null_ratio(spark, sf_dir):
+    """Configuration-model transitivity excess: actual triangles vs the
+    degree-preserving null expectation (sum d(d-1)/2m)^3/6."""
+    from tric_spark.operators.digraph_stats import triangle_null_ratio
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return triangle_null_ratio(canon, deg)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "triangle_null_ratio": q_triangle_null_ratio,
         "dag_layers": q_dag_layers,
         "pii_scan": q_pii_scan,
         "url_canonicalize": q_url_canonicalize,
@@ -3884,6 +3903,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
                    round(avg(mon), 6) AS avg_monetary
             FROM scored GROUP BY 1, 2, 3
+        """,
+        # per-dim stats: unnest-with-index (1-based, matching posexplode+1)
+        "embedding_dim_stats": """
+            SELECT i AS dim, count(*)::BIGINT AS n,
+                   round(avg(val), 6) AS mean,
+                   round(stddev_pop(val), 6) AS std,
+                   round(min(val), 6) AS vmin,
+                   round(max(val), 6) AS vmax,
+                   round(stddev_pop(val), 6) < 0.001 AS dead
+            FROM (SELECT unnest(embedding::DOUBLE[]) AS val,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings WHERE embedding IS NOT NULL)
+            GROUP BY i
+        """,
+        # configuration-model null: E[T] = (sum d(d-1) / 2m)^3 / 6
+        "triangle_null_ratio": f"""
+            WITH {E}, {_TRI},
+            t AS (SELECT count(*) AS tc FROM tri),
+            m AS (SELECT count(*) AS m FROM und),
+            s AS (SELECT sum(degree*(degree-1.0)) AS s FROM deg)
+            SELECT tc::BIGINT AS tc_actual,
+                   round(pow(s/(2.0*m), 3)/6.0, 6) AS tc_null,
+                   round(tc / (pow(s/(2.0*m), 3)/6.0), 6) AS ratio
+            FROM t, m, s
         """,
         "edges_canonical": f"WITH {E} SELECT src, dst FROM und",
         "degree_histogram": f"""

@@ -1,0 +1,45 @@
+"""Per-dimension embedding diagnostics — the health check run before any
+of the vector operators (similarity.py LSH, pq.py quantization, spectral
+projections) is trusted: dead (near-zero-variance) dimensions waste
+codebook bits and break whitening; wildly uncentered dimensions dominate
+cosine buckets.
+
+Scale shape: one ``posexplode`` pass (rows × dims, the unavoidable
+width), then a single map-side-combinable groupBy over ``dim`` — no
+window, no collect; output cardinality = vector width.  Stats use
+population stddev and are rounded to 6dp (both engines sum doubles in
+different orders; 6dp absorbs the last-bit noise per the repo rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dead_std: float = 1e-3,
+) -> DataFrame:
+    """(dim, n, mean, std, vmin, vmax, dead) per vector dimension
+    (1-based).  ``dead`` flags std < ``dead_std``.  NULL vectors are
+    skipped; jagged vectors contribute to the dims they have (n exposes
+    the raggedness)."""
+    ex = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    return (
+        ex.select(
+            (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("v")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_pop("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+        .withColumn("dead", F.col("std") < F.lit(dead_std))
+    )
