@@ -2119,12 +2119,23 @@ def q_triangle_null_ratio(spark, sf_dir):
     return triangle_null_ratio(canon, deg)
 
 
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversified retrieval: greedy lam*rel - (1-lam)*max-sim picks
+    (k=3 from a 20-candidate pool, lam=0.7) for query vectors vec_id<3 —
+    the post-ANN re-ranker, fully replayed by the unrolled oracle."""
+    from tric_spark.operators.mmr import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=20, lam=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
         "triangle_null_ratio": q_triangle_null_ratio,
+        "mmr_topk": q_mmr_topk,
         "dag_layers": q_dag_layers,
         "pii_scan": q_pii_scan,
         "url_canonicalize": q_url_canonicalize,
@@ -3916,6 +3927,88 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(embedding) + 1)) AS i
                   FROM embeddings WHERE embedding IS NOT NULL)
             GROUP BY i
+        """,
+        # MMR: greedy trajectory replayed round-by-round; literals are
+        # repr(lam)/repr(1-lam) so both engines rank the identical IEEE
+        # arithmetic over 6dp-rounded rel/sim inputs
+        "mmr_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < 3),
+            cand AS MATERIALIZED (
+              SELECT query_id, vec_id, rel FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(q.qv, e.v), 6) AS rel,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(q.qv, e.v), 6)
+                                  DESC, e.vec_id) AS rn
+                FROM e JOIN q ON e.vec_id <> q.query_id
+              ) WHERE rn <= 20
+            ),
+            pairs AS MATERIALIZED (
+              SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+                     round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+              FROM cand a
+              JOIN cand b ON a.query_id = b.query_id
+                         AND a.vec_id <> b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+            ),
+            sel1 AS MATERIALIZED (
+              SELECT query_id, vec_id, rel AS raw FROM (
+                SELECT query_id, vec_id, rel, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+                FROM cand) WHERE rn = 1
+            ),
+            ms2 AS (
+              SELECT p.query_id, p.a AS vec_id, max(p.sim) AS msim
+              FROM pairs p JOIN sel1 s
+                ON s.query_id = p.query_id AND s.vec_id = p.b
+              GROUP BY 1, 2
+            ),
+            sc2 AS (
+              SELECT c.query_id, c.vec_id,
+                     {0.7!r}*c.rel - {1.0 - 0.7!r}*m.msim AS raw
+              FROM cand c JOIN ms2 m USING (query_id, vec_id)
+              LEFT JOIN sel1 s ON s.query_id = c.query_id
+                              AND s.vec_id = c.vec_id
+              WHERE s.vec_id IS NULL
+            ),
+            sel2 AS MATERIALIZED (
+              SELECT query_id, vec_id, raw FROM (
+                SELECT query_id, vec_id, raw, row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+                FROM sc2) WHERE rn = 1
+            ),
+            sel12 AS (
+              SELECT query_id, vec_id FROM sel1
+              UNION ALL SELECT query_id, vec_id FROM sel2
+            ),
+            ms3 AS (
+              SELECT p.query_id, p.a AS vec_id, max(p.sim) AS msim
+              FROM pairs p JOIN sel12 s
+                ON s.query_id = p.query_id AND s.vec_id = p.b
+              GROUP BY 1, 2
+            ),
+            sc3 AS (
+              SELECT c.query_id, c.vec_id,
+                     {0.7!r}*c.rel - {1.0 - 0.7!r}*m.msim AS raw
+              FROM cand c JOIN ms3 m USING (query_id, vec_id)
+              LEFT JOIN sel12 s ON s.query_id = c.query_id
+                               AND s.vec_id = c.vec_id
+              WHERE s.vec_id IS NULL
+            ),
+            sel3 AS (
+              SELECT query_id, vec_id, raw FROM (
+                SELECT query_id, vec_id, raw, row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+                FROM sc3) WHERE rn = 1
+            )
+            SELECT query_id, vec_id, 1 AS sel_round,
+                   round(raw, 6) AS score FROM sel1
+            UNION ALL SELECT query_id, vec_id, 2, round(raw, 6) FROM sel2
+            UNION ALL SELECT query_id, vec_id, 3, round(raw, 6) FROM sel3
         """,
         # configuration-model null: E[T] = (sum d(d-1) / 2m)^3 / 6
         "triangle_null_ratio": f"""
