@@ -1593,6 +1593,30 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shape priority check: the EXISTS-with-correlated-predicate
+    exerciser — orders in one quarter kept via a LEFT SEMI join against
+    lineitem on (key match AND l_shipdate > o_orderdate); the semi join
+    dedups matches for free (no distinct-count workaround). The classic
+    commitdate<receiptdate predicate is adapted to the columns this
+    schema carries (TESTDATA.md lineitem has shipdate only)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language n_chars quantiles (linear interpolation — Spark
     percentile() and DuckDB quantile_cont share the R type-7 definition).
@@ -2188,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "rich_club": q_rich_club,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
         "postings_stats": q_postings_stats,
         "event_anomalies": q_event_anomalies,
         "dataset_split": q_dataset_split,
@@ -4947,6 +4972,16 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM sc
             ) WHERE rank <= 20
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue

@@ -106,3 +106,18 @@ def test_kmeans_assign_plan_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_tpch_q4_semi_join_and_pushdown(spark):
+    """Q4's EXISTS must compile to a LeftSemi join (matches deduped by the
+    join itself, no distinct), with the order-date range pushed to the
+    orders scan and the lineitem scan pruned to its two used columns."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    li_scan = [ln for ln in scans if "l_orderkey" in ln]
+    assert li_scan and "l_extendedprice" not in li_scan[0], scans
