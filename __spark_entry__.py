@@ -2153,8 +2153,21 @@ def q_mmr_topk(spark, sf_dir):
     return mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, pool=20, lam=0.7)
 
 
+def q_heavy_hitter_users(spark, sf_dir):
+    """Per-hour top-3 most active users — the windowed heavy-hitter /
+    bot-detector: the streaming-legal watermarked count stage (batch twin
+    here; stream==batch tested) + the deterministic top-k readout."""
+    from tric_spark.streaming.windows import topk_per_window, windowed_key_counts
+
+    counts = windowed_key_counts(
+        load_table(spark, sf_dir, "events"), key_col="user_id", window="1 hour"
+    )
+    return topk_per_window(counts, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "heavy_hitter_users": q_heavy_hitter_users,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3891,6 +3904,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT v // 10000000 AS vid, community FROM comp
               UNION ALL
               SELECT v % 10000000, community FROM comp)
+        """,
+        # heavy hitters: 1-hour tumbling windows == date_trunc buckets
+        "heavy_hitter_users": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     user_id AS key, count(*) AS n
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT window_start, key, n::BIGINT AS n, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY window_start ORDER BY n DESC, key) AS rank
+              FROM c
+            ) WHERE rank <= 3
         """,
         # RFM: quartile thresholds via the cum-rank >= ceil(p*n) rule on
         # each per-user metric's VALUE histogram (monetary rounded 6dp

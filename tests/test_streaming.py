@@ -183,3 +183,31 @@ def test_stream_dedup_then_neardup_chain(spark, tmp_path):
     assert all(ha != hb for ha, hb in got)
     # and the planted near-dup families still surface
     assert len(got) > 0
+
+
+def test_stream_heavy_hitters_match_batch(spark, tmp_path):
+    """Streaming per-key window counts drained via availableNow + the
+    batch top-k readout must equal the all-batch path."""
+    from tric_spark.streaming.windows import topk_per_window, windowed_key_counts
+
+    events = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "hh_src")
+    events.write.parquet(src_dir)
+
+    stream = stream_events_from_dir(spark, src_dir, events.schema)
+    agg = windowed_key_counts(stream, key_col="user_id", window="6 hours")
+    q = run_available_now(agg, "hh_counts", str(tmp_path / "hh_ck"))
+    got = {
+        (r.window_start, r.key, r.n, r.rank)
+        for r in topk_per_window(spark.sql("select * from hh_counts"), k=3).collect()
+    }
+    q.stop()
+
+    want = {
+        (r.window_start, r.key, r.n, r.rank)
+        for r in topk_per_window(
+            windowed_key_counts(events, key_col="user_id", window="6 hours"), k=3
+        ).collect()
+    }
+    assert got == want and len(want) > 3
+    assert all(rk <= 3 for _, _, _, rk in want)

@@ -99,3 +99,43 @@ def with_text_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content hash column for streaming dedup — md5 (engine-portable,
     matching the batch dedup family)."""
     return docs.withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
+
+
+def windowed_key_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    late_threshold: str = "30 minutes",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """(window_start, key, n) tumbling-window per-key activity counts —
+    the streaming-legal half of heavy-hitter detection (one watermarked
+    groupBy; state = live windows × keys, bounded by the watermark).
+    NULL keys are dropped. Rank downstream with :func:`topk_per_window`
+    (a per-window window function is not allowed mid-stream)."""
+    is_streaming = events.isStreaming if streaming is None else streaming
+    events = events.filter(F.col(key_col).isNotNull()).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = events.withWatermark("ts", late_threshold) if is_streaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "key", "n")
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 5) -> DataFrame:
+    """(window_start, key, n, rank) — the k heaviest keys per window from
+    a :func:`windowed_key_counts` result (batch readout over the sink).
+    Deterministic: ranks on (n DESC, key ASC). The window function
+    partitions by window_start — many small sorts, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
