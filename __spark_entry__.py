@@ -2165,9 +2165,45 @@ def q_heavy_hitter_users(spark, sf_dir):
     return topk_per_window(counts, k=3)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease per doc (vowel-group syllable heuristic,
+    min-1 sentences) — map-only, one HOF fold per row, no shuffle."""
+    from tric_spark.operators.textstats import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_rank_movers(spark, sf_dir):
+    """Incremental-maintenance readout: top-20 |ΔPageRank| movers between
+    the 96%-edge 'previous day' snapshot and today's full graph (both
+    2-iteration cold runs; vertices new to the graph move from 0).
+    Ranks on the ROUNDED delta with vid tie-break, so the cutoff set is
+    deterministic across engines."""
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    from tric_spark import graph as _g
+
+    old_canon = canon.filter((F.col("src") + F.col("dst")) % 25 != 0)
+    old_sym = _g.symmetrize(old_canon)
+    old = pagerank(old_sym, _g.vertices(old_sym), tol=0.0, max_iter=2)
+    new = pagerank(sym, verts, tol=0.0, max_iter=2)
+    j = new.join(
+        old.select("vid", F.col("rank").alias("old_rank")), "vid", "left"
+    ).select(
+        "vid",
+        F.round("rank", 6).alias("rank_new"),
+        F.round(F.coalesce("old_rank", F.lit(0.0)), 6).alias("rank_old"),
+        F.round(
+            F.abs(F.col("rank") - F.coalesce("old_rank", F.lit(0.0))), 6
+        ).alias("delta"),
+    )
+    return j.orderBy(F.col("delta").desc(), F.col("vid")).limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "heavy_hitter_users": q_heavy_hitter_users,
+        "readability": q_readability,
+        "rank_movers": q_rank_movers,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3905,6 +3941,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT v % 10000000, community FROM comp)
         """,
+        # Flesch: list_transform/list_sum replay the Spark HOF fold;
+        # regexp classes are ASCII on both engines
+        "readability": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '')
+                       AS toks,
+                     text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            s AS (
+              SELECT doc_id, len(toks) AS n_words,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS n_sentences,
+                     coalesce(list_sum(list_transform(toks, w ->
+                       greatest(1, len(regexp_extract_all(lower(w),
+                                                          '[aeiouy]+'))))),
+                              0) AS n_syllables
+              FROM d
+            )
+            SELECT doc_id, n_words::BIGINT AS n_words,
+                   n_sentences::BIGINT AS n_sentences,
+                   n_syllables::BIGINT AS n_syllables,
+                   round(206.835 - 1.015*(n_words::DOUBLE / n_sentences)
+                         - 84.6*(n_syllables::DOUBLE / n_words), 6)
+                     AS flesch
+            FROM s WHERE n_words > 0
+        """,
         # heavy hitters: 1-hour tumbling windows == date_trunc buckets
         "heavy_hitter_users": """
             WITH c AS (
@@ -4882,6 +4946,51 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # rank movers: dual 2-iter PR unrolls (the warm-start oracle's
+        # old-graph chain + the standard full chain), ordered on the
+        # ROUNDED |delta| with vid tie-break
+        "rank_movers": f"""
+            WITH {E},
+            undo AS (SELECT src, dst FROM und WHERE (src + dst) % 25 <> 0),
+            symo AS (SELECT src, dst FROM undo
+                     UNION ALL SELECT dst, src FROM undo),
+            dego AS (SELECT src AS vid, count(*) AS degree FROM symo
+                     GROUP BY 1),
+            nvo AS (SELECT count(*) AS n FROM dego),
+            o0 AS (SELECT vid, 1.0/(SELECT n FROM nvo) AS rank, degree
+                   FROM dego),
+            o1 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nvo)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM symo s JOIN o0 r ON s.src = r.vid GROUP BY 1),
+            o1d AS (SELECT o1.vid, o1.rank, d.degree FROM o1
+                    JOIN dego d USING (vid)),
+            o2 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nvo)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM symo s JOIN o1d r ON s.src = r.vid GROUP BY 1),
+            nv AS (SELECT count(*) AS n FROM deg),
+            p0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS rank, degree
+                   FROM deg),
+            p1 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nv)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM sym s JOIN p0 r ON s.src = r.vid GROUP BY 1),
+            p1d AS (SELECT p1.vid, p1.rank, d.degree FROM p1
+                    JOIN deg d USING (vid)),
+            p2 AS (SELECT s.dst AS vid,
+                          0.15/(SELECT n FROM nv)
+                          + 0.85*sum(r.rank/r.degree) AS rank
+                   FROM sym s JOIN p1d r ON s.src = r.vid GROUP BY 1),
+            j AS (SELECT p2.vid, p2.rank AS rn, o2.rank AS ro
+                  FROM p2 LEFT JOIN o2 USING (vid))
+            SELECT vid, round(rn, 6) AS rank_new,
+                   round(coalesce(ro, 0), 6) AS rank_old,
+                   round(abs(rn - coalesce(ro, 0)), 6) AS delta
+            FROM j
+            ORDER BY round(abs(rn - coalesce(ro, 0)), 6) DESC, vid
+            LIMIT 20
         """,
         # CSN continuous MLE over the deg tail; ln() not log()
         "powerlaw_alpha": f"""

@@ -484,3 +484,57 @@ def exact_quantiles_by(
         .groupBy("key", "pct")
         .agg(F.min("v").alias("value"))
     )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch) — Flesch
+    Reading Ease (Flesch 1948): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with the standard cheap syllable heuristic
+    (per-word count of [aeiouy]+ vowel groups, min 1) and sentences as
+    [.!?]+ runs (min 1, so punctuation-free corpora still score).
+
+    Scale shape: map-only — one split + one transform/aggregate HOF chain
+    per row, all JVM expressions, no explode/shuffle (the per-word fold
+    happens inside the array, not as rows).  NULL-text docs yield no row;
+    the HOF expression is instantiated exactly ONCE in the projection
+    (COVERAGE.md superstep-chaining lore: duplicated HOF lambdas corrupt).
+    """
+    toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("toks"), "text"
+    )
+    counted = base.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        ).alias("n_sentences"),
+        F.aggregate(
+            F.transform(
+                "toks",
+                lambda w: F.greatest(
+                    F.lit(1),
+                    F.size(
+                        F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)
+                    ),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
