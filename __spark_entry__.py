@@ -2199,11 +2199,26 @@ def q_rank_movers(spark, sf_dir):
     return j.orderBy(F.col("delta").desc(), F.col("vid")).limit(20)
 
 
+def q_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading: 20% of docs (doc_id%5==0) seed
+    their lang label; 2 clamped mass-propagation supersteps over the link
+    graph; argmax readout on the nudged 6dp mass (midpoint lore)."""
+    from tric_spark.operators.lp import label_spreading
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("vid"), F.col("lang").alias("label")
+    )
+    return label_spreading(sym, deg, seeds, num_iter=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "heavy_hitter_users": q_heavy_hitter_users,
         "readability": q_readability,
         "rank_movers": q_rank_movers,
+        "label_spreading": q_label_spreading,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -4946,6 +4961,36 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # label spreading: 2 clamped supersteps in sparse long format;
+        # masses are rational 1/deg chains -> +1e-9 nudge before the 6dp
+        # round on BOTH sides (salsa midpoint lore)
+        "label_spreading": f"""
+            WITH {E},
+            seeds AS (SELECT doc_id AS vid, lang AS label FROM documents
+                      WHERE doc_id % 5 = 0),
+            m0 AS (SELECT vid, label, 1.0 AS mass FROM seeds),
+            s1 AS (SELECT s.dst AS vid, m.label,
+                          sum(m.mass/d.degree) AS mass
+                   FROM sym s JOIN m0 m ON m.vid = s.src
+                   JOIN deg d ON d.vid = s.src
+                   GROUP BY 1, 2),
+            m1 AS (SELECT vid, label, mass FROM s1
+                   WHERE vid NOT IN (SELECT vid FROM seeds)
+                   UNION ALL SELECT vid, label, 1.0 FROM seeds),
+            s2 AS (SELECT s.dst AS vid, m.label,
+                          sum(m.mass/d.degree) AS mass
+                   FROM sym s JOIN m1 m ON m.vid = s.src
+                   JOIN deg d ON d.vid = s.src
+                   GROUP BY 1, 2),
+            m2 AS (SELECT vid, label, mass FROM s2
+                   WHERE vid NOT IN (SELECT vid FROM seeds)
+                   UNION ALL SELECT vid, label, 1.0 FROM seeds)
+            SELECT vid, label AS pred_label, score FROM (
+              SELECT vid, label, round(mass + 1e-9, 6) AS score,
+                     row_number() OVER (PARTITION BY vid
+                       ORDER BY round(mass + 1e-9, 6) DESC, label) AS rn
+              FROM m2) WHERE rn = 1
         """,
         # rank movers: dual 2-iter PR unrolls (the warm-start oracle's
         # old-graph chain + the standard full chain), ordered on the

@@ -73,3 +73,54 @@ def label_propagation(
     for _ in range(num_iter):
         cur = step(cur).localCheckpoint(eager=True)
     return cur
+
+
+def label_spreading(
+    sym_edges: DataFrame,
+    degrees: DataFrame,
+    seeds: DataFrame,
+    num_iter: int = 2,
+) -> DataFrame:
+    """Semi-supervised label SPREADING (Zhu & Ghahramani 2002 clamped
+    propagation): ``seeds`` is (vid, label) for the labeled minority;
+    each superstep every vertex receives mass Σ_{u→v} mass(u,·)/deg(u)
+    per label, then seed vertices are re-clamped to their one-hot label.
+    Readout: (vid, pred_label, score) — the argmax label per reached
+    vertex on the NUDGED 6dp-rounded mass with label tie-break (masses
+    are rational sums of 1/deg chains, exactly the midpoint-flake class
+    the SALSA lore documents — hence the +1e-9 nudge on both engines).
+
+    Scale shape: state is SPARSE long-format (vid, label, mass) — only
+    reached (vertex, label) pairs exist, so early supersteps touch the
+    seed frontier, not |V|×|labels|.  Per superstep: one edges⋈state
+    shuffle + one groupBy, then the clamp as anti-join ∪ seeds.  Each
+    superstep is localCheckpointed (lineage rule); the step joins the
+    edge table against the state, never the state against itself, so
+    plain localCheckpoint suffices (plans/lineage.py lore).
+    """
+    deg = degrees.select("vid", "degree")
+    seed_hot = seeds.select("vid", "label", F.lit(1.0).alias("mass"))
+    state = seed_hot.localCheckpoint(eager=True)
+    for _ in range(num_iter):
+        contrib = (
+            sym_edges.join(state.withColumnRenamed("vid", "src"), "src")
+            .join(deg.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"), "label")
+            .agg(F.sum(F.col("mass") / F.col("degree")).alias("mass"))
+        )
+        state = (
+            contrib.join(seeds.select("vid"), "vid", "left_anti")
+            .unionByName(seed_hot)
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        state.select(
+            "vid", "label", F.round(F.col("mass") + F.lit(1e-9), 6).alias("score")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("label").alias("pred_label"), "score")
+    )
