@@ -2213,12 +2213,41 @@ def q_label_spreading(spark, sf_dir):
     return label_spreading(sym, deg, seeds, num_iter=2)
 
 
+def q_url_features(spark, sf_dir):
+    """Lexical URL feature vectors (depth/length/params/digit density +
+    the documented spam-score blend) over the messy-URL fixture — the
+    crawl-frontier classifier's input, map-only."""
+    from tric_spark.operators.urlnorm import url_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_features(docs.select(_messy_url().alias("url")))
+
+
+def q_whiten_embeddings(spark, sf_dir):
+    """Per-dimension standardized embeddings in long format (dead dims
+    emit 0) — the whitening preprocessor for PQ/IVF codebooks."""
+    from tric_spark.operators.embstats import whiten_embeddings
+
+    return whiten_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_stationary_distribution(spark, sf_dir):
+    """Long-run event-type occupancy of the behavioral Markov chain:
+    4 fixed power-iteration steps from uniform, renormalized per step."""
+    from tric_spark.operators.transitions import stationary_distribution
+
+    return stationary_distribution(load_table(spark, sf_dir, "events"), iters=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "heavy_hitter_users": q_heavy_hitter_users,
         "readability": q_readability,
         "rank_movers": q_rank_movers,
         "label_spreading": q_label_spreading,
+        "url_features": q_url_features,
+        "whiten_embeddings": q_whiten_embeddings,
+        "stationary_distribution": q_stationary_distribution,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -2423,6 +2452,30 @@ _TRI = """
 """
 
 _TOKS = "toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
+
+# messy-URL fixture CTE (SQL twin of _messy_url); url_canonicalize keeps
+# its original inline copy, new URL oracles compose this one
+_MURLS = """
+  murls AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END
+        || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN upper(coalesce(source, 'x'))
+                ELSE coalesce(source, 'x') END
+        || '.Example.COM'
+        || CASE WHEN doc_id % 4 = 0
+                THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                ELSE '' END
+        || '/p/' || (doc_id % 25)::VARCHAR
+        || CASE WHEN doc_id % 6 = 0 THEN '//' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN '?id=' || (doc_id % 10)::VARCHAR || '&utm_campaign=c'
+                ELSE '?ref=x&id=' || (doc_id % 10)::VARCHAR END
+        || CASE WHEN doc_id % 11 = 0 THEN '#s' ELSE '' END AS url
+    FROM documents
+  )
+"""
 
 
 def _bpe_oracle(rounds: int, final: str = "merges") -> str:
@@ -4961,6 +5014,89 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # URL features: regexp twins of url_features (DuckDB needs the
+        # explicit 'g' flag where Spark's regexp_replace is global)
+        "url_features": f"""
+            WITH {_MURLS.strip()},
+            f AS (
+              SELECT url,
+                     regexp_replace(lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       ':[0-9]+$', '') AS host,
+                     len(list_filter(string_split(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                       '/'), s -> s <> '')) AS path_depth,
+                     length(url) AS url_len,
+                     CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = ''
+                          THEN 0
+                          ELSE len(string_split(regexp_extract(url,
+                                 '\\?([^#]*)', 1), '&')) END AS n_params,
+                     round((length(url) - length(regexp_replace(url,
+                       '[0-9]', '', 'g'))) / length(url)::DOUBLE, 6)
+                       AS digit_ratio
+              FROM murls
+            )
+            SELECT url, host, path_depth::BIGINT AS path_depth,
+                   url_len::BIGINT AS url_len, n_params::BIGINT AS n_params,
+                   digit_ratio,
+                   round(0.5*digit_ratio
+                         + 0.25*least(1.0, path_depth/8.0)
+                         + 0.25*least(1.0, url_len/160.0), 6) AS spam_score
+            FROM f
+        """,
+        # whitening: stats 6dp-ROUNDED before the quotient on both sides
+        "whiten_embeddings": """
+            WITH ex AS (
+              SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            st AS (SELECT dim, round(avg(v), 6) AS mu,
+                          round(stddev_pop(v), 6) AS sd
+                   FROM ex GROUP BY 1)
+            SELECT e.vec_id, e.dim,
+                   CASE WHEN st.sd = 0 THEN 0.0
+                        ELSE round((e.v - st.mu)/st.sd, 6) END AS w
+            FROM ex e JOIN st USING (dim)
+        """,
+        # stationary: 4 unrolled renormalized power steps over the tiny
+        # |event types| state; rational masses -> nudge before round
+        "stationary_distribution": """
+            WITH seqs AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+              FROM events
+            ),
+            pairs AS (SELECT event_type AS from_type, to_type,
+                             count(*) AS n
+                      FROM seqs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1),
+            probs AS (SELECT p.from_type, p.to_type, p.n/t.t AS p
+                      FROM pairs p JOIN tot t USING (from_type)),
+            states AS (SELECT DISTINCT s FROM (
+              SELECT from_type AS s FROM probs
+              UNION ALL SELECT to_type FROM probs)),
+            t0 AS (SELECT s, 1.0/(SELECT count(*) FROM states) AS pi
+                   FROM states),
+            u1 AS (SELECT pr.to_type AS s, sum(t.pi * pr.p) AS m
+                   FROM probs pr JOIN t0 t ON t.s = pr.from_type
+                   GROUP BY 1),
+            t1 AS (SELECT s, m/(SELECT sum(m) FROM u1) AS pi FROM u1),
+            u2 AS (SELECT pr.to_type AS s, sum(t.pi * pr.p) AS m
+                   FROM probs pr JOIN t1 t ON t.s = pr.from_type
+                   GROUP BY 1),
+            t2 AS (SELECT s, m/(SELECT sum(m) FROM u2) AS pi FROM u2),
+            u3 AS (SELECT pr.to_type AS s, sum(t.pi * pr.p) AS m
+                   FROM probs pr JOIN t2 t ON t.s = pr.from_type
+                   GROUP BY 1),
+            t3 AS (SELECT s, m/(SELECT sum(m) FROM u3) AS pi FROM u3),
+            u4 AS (SELECT pr.to_type AS s, sum(t.pi * pr.p) AS m
+                   FROM probs pr JOIN t3 t ON t.s = pr.from_type
+                   GROUP BY 1),
+            t4 AS (SELECT s, m/(SELECT sum(m) FROM u4) AS pi FROM u4)
+            SELECT s AS event_type, round(pi + 1e-9, 6) AS pi FROM t4
         """,
         # label spreading: 2 clamped supersteps in sparse long format;
         # masses are rational 1/deg chains -> +1e-9 nudge before the 6dp

@@ -43,3 +43,37 @@ def embedding_dim_stats(
         )
         .withColumn("dead", F.col("std") < F.lit(dead_std))
     )
+
+
+def whiten_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, dim, w) long-format whitened embeddings:
+    w = (val − mean_d)/std_d per dimension — the standardization PQ/IVF
+    codebooks and Mahalanobis-ish metrics assume.  Dead dimensions
+    (std rounds to 0 at 6dp) emit w = 0 instead of dividing by noise.
+
+    Determinism: mean/std are 6dp-ROUNDED before use (both engines agree
+    on the rounded stats — embedding_dim_stats' contract), so the
+    quotient is identical IEEE arithmetic on identical inputs.  Scale
+    shape: the stats groupBy output is |dims| rows, broadcast back onto
+    the posexplode pass — two scans, zero shuffles of the wide data.
+    """
+    ex = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("v")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_pop("v"), 6).alias("sd"),
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("sd") == 0.0, F.lit(0.0))
+        .otherwise(F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6))
+        .alias("w"),
+    )

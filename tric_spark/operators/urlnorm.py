@@ -163,3 +163,47 @@ def robots_filter(
     return df.withColumn(
         "allowed", robots_verdict(F.col(path_col), rules)
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host, path_depth, url_len, n_params, digit_ratio,
+    spam_score) — the lexical URL feature vector every crawl-frontier /
+    URL-spam classifier starts from (Ma et al., KDD'09 "Beyond
+    Blacklists" lexical features): long, digit-dense, deeply-nested,
+    parameter-heavy URLs correlate with spam/infinite-calendar traps.
+
+    Map-only JVM regexps (one pass, no shuffle); ``spam_score`` is the
+    documented fixed blend 0.5·digit_ratio + 0.25·min(1, depth/8) +
+    0.25·min(1, len/160) — a transparent heuristic, not a trained model
+    (classifier.py holds the trained path).  6dp rounding on ratios.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    base = df.select(
+        u.alias("url"),
+        host.alias("host"),
+        F.size(F.filter(F.split(path, "/", -1), lambda s: s != F.lit(""))).alias(
+            "path_depth"
+        ),
+        F.length(u).alias("url_len"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&", -1)))
+        .alias("n_params"),
+        F.round(
+            (F.length(u) - F.length(F.regexp_replace(u, "[0-9]", "")))
+            / F.length(u).cast("double"),
+            6,
+        ).alias("digit_ratio"),
+    )
+    return base.withColumn(
+        "spam_score",
+        F.round(
+            F.lit(0.5) * F.col("digit_ratio")
+            + F.lit(0.25) * F.least(F.lit(1.0), F.col("path_depth") / F.lit(8.0))
+            + F.lit(0.25) * F.least(F.lit(1.0), F.col("url_len") / F.lit(160.0)),
+            6,
+        ),
+    )
