@@ -2239,6 +2239,16 @@ def q_stationary_distribution(spark, sf_dir):
     return stationary_distribution(load_table(spark, sf_dir, "events"), iters=4)
 
 
+def q_bipartite_components(spark, sf_dir):
+    """Per-component bipartiteness: hash-min CC picks representatives,
+    one multi-source BFS 2-colors every component at once, conflict
+    (odd-cycle) edges counted by a single parity join."""
+    from tric_spark.operators.bipartite import bipartite_components
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return bipartite_components(canon, sym, verts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -2248,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "whiten_embeddings": q_whiten_embeddings,
         "stationary_distribution": q_stationary_distribution,
+        "bipartite_components": q_bipartite_components,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -5014,6 +5025,41 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # bipartiteness: CC closure for components + capped-depth BFS
+        # recursion (dist < 32 bound stops cycle blowup; min() reads the
+        # true hop distance, exact while diameter < 32) + parity join
+        "bipartite_components": f"""
+            WITH RECURSIVE {E},
+            r(vid, x) AS (
+              SELECT vid, vid FROM deg
+              UNION
+              SELECT s.dst, r.x FROM sym s JOIN r ON r.vid = s.src
+            ),
+            comp AS (SELECT vid, min(x) AS comp FROM r GROUP BY vid),
+            reps AS (SELECT DISTINCT comp AS vid FROM comp),
+            d(vid, dist) AS (
+              SELECT vid, 0 FROM reps
+              UNION
+              SELECT s.dst, d.dist + 1 FROM sym s
+              JOIN d ON d.vid = s.src WHERE d.dist < 32
+            ),
+            par AS (SELECT vid, min(dist) % 2 AS par FROM d GROUP BY vid),
+            conf AS (
+              SELECT c.comp, count(*) AS n_conflicts
+              FROM und e
+              JOIN par a ON a.vid = e.src
+              JOIN par b ON b.vid = e.dst
+              JOIN comp c ON c.vid = e.src
+              WHERE a.par = b.par
+              GROUP BY 1
+            )
+            SELECT g.comp AS component, g.n_vertices,
+                   coalesce(conf.n_conflicts, 0)::BIGINT AS n_conflicts,
+                   coalesce(conf.n_conflicts, 0) = 0 AS is_bipartite
+            FROM (SELECT comp, count(*)::BIGINT AS n_vertices
+                  FROM comp GROUP BY 1) g
+            LEFT JOIN conf ON conf.comp = g.comp
         """,
         # URL features: regexp twins of url_features (DuckDB needs the
         # explicit 'g' flag where Spark's regexp_replace is global)
