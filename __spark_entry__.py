@@ -2239,6 +2239,16 @@ def q_stationary_distribution(spark, sf_dir):
     return stationary_distribution(load_table(spark, sf_dir, "events"), iters=4)
 
 
+def q_attack_robustness(spark, sf_dir):
+    """Targeted hub-removal percolation curve: giant-component size after
+    removing vertices above the (1-f) degree quantile, f in {0,5%,10%}
+    (Albert-Jeong-Barabási attack tolerance)."""
+    from tric_spark.operators.robustness import attack_robustness
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
+
+
 def q_bipartite_components(spark, sf_dir):
     """Per-component bipartiteness: hash-min CC picks representatives,
     one multi-source BFS 2-colors every component at once, conflict
@@ -2259,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whiten_embeddings": q_whiten_embeddings,
         "stationary_distribution": q_stationary_distribution,
         "bipartite_components": q_bipartite_components,
+        "attack_robustness": q_attack_robustness,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -3980,9 +3991,56 @@ def _anf_sql(max_h: int = 6, seed: str = "anf") -> str:
     return f"WITH {E}, {', '.join(ctes)} SELECT h, nf FROM ({rows})"
 
 
+def _attack_sql(fractions=(0.0, 0.05, 0.10)) -> str:
+    """Per-fraction quantile threshold + kept-subgraph recursive-CTE CC +
+    giant readout (mirrors operators/robustness.py; threshold literals
+    are repr(1-f) so both engines do identical IEEE ceil arithmetic)."""
+    blocks, outs = [], []
+    for i, f in enumerate(fractions):
+        blocks.append(
+            f"""
+            thr{i} AS (SELECT min(degree) AS d FROM (
+                SELECT degree, sum(c) OVER (ORDER BY degree) AS cum
+                FROM (SELECT degree, count(*) AS c FROM deg GROUP BY 1)
+              ), nv WHERE cum >= ceil({(1.0 - f)!r} * nv.n)),
+            kept{i} AS (SELECT vid FROM deg, thr{i}
+                        WHERE degree <= thr{i}.d),
+            ks{i} AS (SELECT s.src, s.dst FROM sym s
+                      JOIN kept{i} a ON a.vid = s.src
+                      JOIN kept{i} b ON b.vid = s.dst),
+            r{i}(vid, x) AS (
+              SELECT vid, vid FROM kept{i}
+              UNION
+              SELECT s.dst, r{i}.x FROM ks{i} s
+              JOIN r{i} ON r{i}.vid = s.src),
+            c{i} AS (SELECT vid, min(x) AS comp FROM r{i} GROUP BY vid),
+            g{i} AS (SELECT max(s) AS g FROM (
+              SELECT comp, count(*) AS s FROM c{i} GROUP BY comp)),
+            o{i} AS (SELECT {float(f)!r} AS frac,
+                     thr{i}.d AS d_threshold,
+                     nv.n - (SELECT count(*) FROM kept{i}) AS n_removed,
+                     (SELECT count(*) FROM kept{i})::BIGINT AS n_remaining,
+                     g{i}.g::BIGINT AS giant_size,
+                     round(g{i}.g
+                           / (1.0*(SELECT count(*) FROM kept{i})), 6)
+                       AS giant_frac
+                     FROM thr{i}, nv, g{i})"""
+        )
+        outs.append(f"SELECT * FROM o{i}")
+    return (
+        "WITH RECURSIVE "
+        + E
+        + ", nv AS (SELECT count(*) AS n FROM deg),"
+        + ",".join(blocks)
+        + " "
+        + " UNION ALL ".join(outs)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
+        "attack_robustness": _attack_sql(),
         # CPM k=3: triangle-edge keys src*1e7+dst, pairwise-connected per
         # triangle, recursive-CTE reachability closure, community = min
         # reachable key (mirrors operators/percolation.py; closure is
