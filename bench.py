@@ -336,6 +336,32 @@ def run_bench(spark, sf_dir: str, n_pages: int) -> dict:
     events = load_table(spark, sf_dir, "events")
     timed("covis_topk", lambda: covisitation_topk(events, k=3).count())
 
+    # NEW r5-final session 8: behavioral RFM grid (histogram-threshold
+    # scoring over the event log), semi-supervised label spreading (2
+    # clamped mass supersteps on the page graph), MMR diversified
+    # re-ranking (pool-bounded greedy over the embeddings), and the
+    # map-only Flesch readability pass
+    from tric_spark.operators.lp import label_spreading
+    from tric_spark.operators.mmr import mmr_topk
+    from tric_spark.operators.rfm import rfm_segments
+    from tric_spark.operators.textstats import readability
+
+    timed("rfm_grid", lambda: rfm_segments(events).count())
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("vid"), F.col("lang").alias("label")
+    )
+    timed(
+        "label_spreading2",
+        lambda: label_spreading(sym, deg, seeds, num_iter=2).count(),
+    )
+    timed(
+        "mmr3",
+        lambda: mmr_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=3, pool=20
+        ).count(),
+    )
+    timed("readability", lambda: readability(docs).count())
+
     ne_directed = 2 * m
     total = round(sum(times.values()), 3)
     tc_time = times["tc_adj"]
