@@ -2249,6 +2249,22 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_json_profile(spark, sf_dir):
+    """Per-key schema profile of the props JSON payload: presence,
+    value cardinality, integer-typed share."""
+    from tric_spark.operators.profiling import json_schema_profile
+
+    return json_schema_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_interarrival_quantiles(spark, sf_dir):
+    """Per-type inter-arrival percentiles (whole-second gaps from exact
+    microsecond lags) — the feed-health burstiness readout."""
+    from tric_spark.operators.profiling import interarrival_quantiles
+
+    return interarrival_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def q_bipartite_components(spark, sf_dir):
     """Per-component bipartiteness: hash-min CC picks representatives,
     one multi-source BFS 2-colors every component at once, conflict
@@ -2270,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationary_distribution": q_stationary_distribution,
         "bipartite_components": q_bipartite_components,
         "attack_robustness": q_attack_robustness,
+        "json_profile": q_json_profile,
+        "interarrival_quantiles": q_interarrival_quantiles,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -5083,6 +5101,46 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # JSON profiler: json_keys + json_extract_string coerce scalars
+        # the same way Spark's map<string,string> parse does
+        "json_profile": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props)) AS key, props
+              FROM events WHERE props IS NOT NULL
+            ),
+            v AS (SELECT key,
+                         json_extract_string(props, '$."' || key || '"')
+                           AS val
+                  FROM kv)
+            SELECT key, count(*)::BIGINT AS n_present,
+                   count(DISTINCT val)::BIGINT AS n_distinct,
+                   round(avg(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                                  THEN 1.0 ELSE 0.0 END), 6) AS frac_int
+            FROM v GROUP BY key
+        """,
+        # inter-arrival: exact micros lag, integer-div to seconds, then
+        # the cum-rank percentile rule per type
+        "interarrival_quantiles": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)) // 1000000 AS gap_s
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            gg AS (SELECT event_type AS k, gap_s AS v FROM g
+                   WHERE gap_s IS NOT NULL),
+            counts AS (SELECT k, v, count(*) AS cnt FROM gg GROUP BY 1, 2),
+            cum AS (SELECT k, v,
+                           sum(cnt) OVER (PARTITION BY k ORDER BY v) AS cum
+                    FROM counts),
+            tot AS (SELECT k, count(*) AS n FROM gg GROUP BY 1),
+            ps AS (SELECT unnest([50, 90, 99]) AS pct)
+            SELECT c.k AS event_type, p.pct, min(c.v) AS value
+            FROM cum c JOIN tot t USING (k), ps p
+            WHERE c.cum >= ceil(p.pct / 100.0 * t.n)
+            GROUP BY 1, 2
         """,
         # bipartiteness: CC closure for components + capped-depth BFS
         # recursion (dist < 32 bound stops cycle blowup; min() reads the
