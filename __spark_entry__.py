@@ -2249,6 +2249,25 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_small_world(spark, sf_dir):
+    """Small-world σ = (C/C_rand)/(L/L_rand): clustering from the exact
+    TC kernel, mean path from the 6dp-rounded HyperANF curve, ER
+    baselines at equal density."""
+    from tric_spark.operators.anf import hyper_anf, small_world_sigma
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    tri = tc.triangle_count_join(canon)
+    wedges = deg.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2).cast("long").alias("w")
+    ).first()["w"]
+    n = verts.count()
+    m = canon.count()
+    curve = hyper_anf(sym, verts, max_h=6).select(
+        "h", F.round("nf", 6).alias("nf")
+    )
+    return small_world_sigma(curve, 3.0 * tri / wedges, n, 2.0 * m / n)
+
+
 def q_json_profile(spark, sf_dir):
     """Per-key schema profile of the props JSON payload: presence,
     value cardinality, integer-typed share."""
@@ -2288,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_robustness": q_attack_robustness,
         "json_profile": q_json_profile,
         "interarrival_quantiles": q_interarrival_quantiles,
+        "small_world": q_small_world,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -5101,6 +5121,33 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # small-world sigma: ANF-curve mean hop + exact clustering vs ER
+        # baselines; ln() both sides (libm), constants formula-identical
+        "small_world": f"""
+            WITH curve AS MATERIALIZED ({_anf_sql(max_h=6)}),
+            base AS MATERIALIZED (
+              SELECT * FROM (
+                WITH {E}, {_TRI},
+                t AS (SELECT count(*) AS tc FROM tri),
+                wg AS (SELECT sum(degree*(degree-1))/2 AS w FROM deg),
+                nm AS (SELECT count(*) AS n FROM deg),
+                mm AS (SELECT count(*) AS m FROM und)
+                SELECT 3.0*t.tc/wg.w AS gcc, nm.n AS n,
+                       (2.0*mm.m/nm.n)/nm.n AS c_rand,
+                       ln(nm.n)/ln(2.0*mm.m/nm.n) AS l_rand
+                FROM t, wg, nm, mm)
+            ),
+            d AS (SELECT h, nf, lag(nf) OVER (ORDER BY h) AS prev
+                  FROM curve),
+            l AS (SELECT sum(h*(nf-prev)) AS num, sum(nf-prev) AS den
+                  FROM d WHERE prev IS NOT NULL)
+            SELECT round(gcc, 6) AS clustering,
+                   round(num/den, 6) AS avg_path,
+                   round(c_rand, 6) AS c_rand,
+                   round(l_rand, 6) AS l_rand,
+                   round((gcc/c_rand)/((num/den)/l_rand), 6) AS sigma
+            FROM l, base
         """,
         # JSON profiler: json_keys + json_extract_string coerce scalars
         # the same way Spark's map<string,string> parse does

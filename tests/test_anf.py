@@ -247,3 +247,20 @@ def test_hll_count_distinct_by(spark):
     assert got["a"]["n_rows"] == 50
     assert abs(got["a"]["est"] - round(py_est([str(i % 7) for i in range(50)]), 6)) < 1e-6
     assert abs(got["b"]["est"] - round(py_est([str(i) for i in range(40)]), 6)) < 1e-6
+
+
+def test_small_world_sigma_arithmetic(spark):
+    """P3-path curve: L = (1*4 + 2*2)/6 = 4/3; formulas replay exactly."""
+    import math
+
+    from tric_spark.operators.anf import small_world_sigma
+
+    curve = spark.createDataFrame(
+        [(0, 3.0), (1, 7.0), (2, 9.0)], "h int, nf double"
+    )
+    r = small_world_sigma(curve, gcc=0.3, n=100, mean_k=4.0).collect()[0]
+    assert r.avg_path == round(4.0 / 3.0, 6)
+    assert r.c_rand == 0.04
+    assert r.l_rand == round(math.log(100) / math.log(4.0), 6)
+    want = (0.3 / 0.04) / ((4.0 / 3.0) / (math.log(100) / math.log(4.0)))
+    assert r.sigma == round(want, 6)

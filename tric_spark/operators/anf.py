@@ -246,3 +246,45 @@ def hll_count_distinct_by(
         F.round(_estimate_col(), 6).alias("est"),
         F.col("_n").alias("n_rows"),
     )
+
+
+def small_world_sigma(
+    curve: DataFrame, gcc: float, n: int, mean_k: float
+) -> DataFrame:
+    """One row (clustering, avg_path, c_rand, l_rand, sigma) — the
+    small-world coefficient σ = (C/C_rand)/(L/L_rand) (Humphries &
+    Gurney, PLoS ONE 2008): σ » 1 is the Watts–Strogatz signature real
+    web graphs show (high clustering AND short paths).
+
+    ``curve``: a 6dp-ROUNDED (h, nf) neighborhood function from
+    :func:`hyper_anf` — L falls out as the probability-mass-weighted mean
+    hop Σ h·(nf(h)−nf(h−1)) / (nf(max)−nf(0)), over reached non-self
+    pairs.  ``gcc`` = 3·triangles/wedges, ``mean_k`` = 2m/n (scalar
+    readouts, the caller's plan-build aggregates).  Random baselines:
+    C_rand = ⟨k⟩/n, L_rand = ln n / ln⟨k⟩ (Erdős–Rényi at equal density).
+    The lag window runs over the ≤ max_h+1-row curve — single-partition
+    by construction, not a scale hazard."""
+    import math
+
+    from pyspark.sql import Window
+
+    c_rand = mean_k / n
+    l_rand = math.log(n) / math.log(mean_k)
+    w = Window.orderBy("h")
+    d = curve.withColumn("prev", F.lag("nf").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    agg = d.agg(
+        F.sum(F.col("h") * (F.col("nf") - F.col("prev"))).alias("num"),
+        F.sum(F.col("nf") - F.col("prev")).alias("den"),
+    )
+    lcol = F.col("num") / F.col("den")
+    return agg.select(
+        F.round(F.lit(gcc), 6).alias("clustering"),
+        F.round(lcol, 6).alias("avg_path"),
+        F.round(F.lit(c_rand), 6).alias("c_rand"),
+        F.round(F.lit(l_rand), 6).alias("l_rand"),
+        F.round(
+            (F.lit(gcc) / F.lit(c_rand)) / (lcol / F.lit(l_rand)), 6
+        ).alias("sigma"),
+    )
