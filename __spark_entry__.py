@@ -2249,6 +2249,22 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl budget: 2-iter host PageRank (6dp) x (1 - exact
+    dup rate), normalized — authority earns budget, duplicate farms
+    forfeit it."""
+    from tric_spark.operators.dedup import dedup_rate_by
+    from tric_spark.operators.frontier import crawl_budget
+    from tric_spark.operators.hostgraph import host_pagerank
+
+    he, hosts = _host_graph(spark, sf_dir)
+    pr = host_pagerank(he, hosts, tol=0.0, max_iter=2).select(
+        F.col("vid").alias("host"), F.round("rank", 6).alias("rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return crawl_budget(pr, dedup_rate_by(docs, "source"))
+
+
 def q_small_world(spark, sf_dir):
     """Small-world σ = (C/C_rand)/(L/L_rand): clustering from the exact
     TC kernel, mean path from the 6dp-rounded HyperANF curve, ER
@@ -2308,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_profile": q_json_profile,
         "interarrival_quantiles": q_interarrival_quantiles,
         "small_world": q_small_world,
+        "crawl_budget": q_crawl_budget,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -5121,6 +5138,27 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # crawl budget: host-PR (rounded) x (1 - dup_rate) over the host
+        # rollup, normalized; both factors come pre-rounded so the
+        # product is identical IEEE on both engines
+        "crawl_budget": f"""
+            WITH pr AS MATERIALIZED ({_host_pr_sql(iters=2)}),
+            dr AS (
+              SELECT coalesce(source, '') AS key,
+                     round(1 - count(DISTINCT md5(text))
+                           / (1.0 * count(*)), 6) AS dup_rate
+              FROM documents WHERE text IS NOT NULL GROUP BY 1
+            ),
+            j AS (
+              SELECT pr.host, pr.rank,
+                     coalesce(dr.dup_rate, 0.0) AS dup_rate,
+                     pr.rank * (1.0 - coalesce(dr.dup_rate, 0.0)) AS raw
+              FROM pr LEFT JOIN dr ON dr.key = pr.host
+            )
+            SELECT host, rank, dup_rate,
+                   round(raw / (SELECT sum(raw) FROM j), 6) AS weight
+            FROM j
         """,
         # small-world sigma: ANF-curve mean hop + exact clustering vs ER
         # baselines; ln() both sides (libm), constants formula-identical

@@ -113,3 +113,36 @@ def politeness_schedule(
     return s.withColumn("slot", slot).withColumn(
         "wave", F.ceil(F.col("slot") / F.lit(float(per_host_rate))).cast("long")
     )
+
+
+def crawl_budget(host_ranks: DataFrame, dup_rates: DataFrame) -> DataFrame:
+    """(host, rank, dup_rate, weight) — per-host crawl budget allocation:
+    weight ∝ host PageRank × (1 − exact-dup rate), normalized to sum 1.
+    The Cho/Garcia-Molina crawl-ordering idea (WWW'98) upgraded with the
+    dedup report card: authority earns budget, duplicate-heavy hosts
+    forfeit it.
+
+    ``host_ranks``: (host, rank) with rank already 6dp-ROUNDED (e.g. the
+    2-iteration host_pagerank readout) — both engines then agree on the
+    product exactly.  ``dup_rates``: dedup.dedup_rate_by output (key,
+    ..., dup_rate).  Hosts missing a dup entry count as 0.  One broadcast
+    join + one 1-row normalizer — no sort, no collect."""
+    j = host_ranks.join(
+        dup_rates.select(F.col("key").alias("host"), "dup_rate"),
+        "host",
+        "left",
+    ).select(
+        "host",
+        "rank",
+        F.coalesce("dup_rate", F.lit(0.0)).alias("dup_rate"),
+        (
+            F.col("rank") * (F.lit(1.0) - F.coalesce("dup_rate", F.lit(0.0)))
+        ).alias("raw"),
+    )
+    z = j.agg(F.sum("raw").alias("z"))
+    return j.crossJoin(F.broadcast(z)).select(
+        "host",
+        "rank",
+        "dup_rate",
+        F.round(F.col("raw") / F.col("z"), 6).alias("weight"),
+    )
