@@ -2249,6 +2249,34 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_keyness_by_lang(spark, sf_dir):
+    """Top-10 most distinctive tokens per language by smoothed log-odds
+    (Monroe et al. keyness) — ranks on the rounded score."""
+    from tric_spark.operators.textstats import keyness_by
+
+    return keyness_by(load_table(spark, sf_dir, "documents"), "lang", k=10)
+
+
+def q_token_freq_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies spectrum (Good-Turing input): how many
+    token types occur exactly k times."""
+    from tric_spark.operators.textstats import token_freq_spectrum
+
+    return token_freq_spectrum(load_table(spark, sf_dir, "documents"))
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """The conversion funnel gated to a 1-hour max gap per stage —
+    exact timestamp+interval arithmetic, same earliest-witness greedy."""
+    from tric_spark.operators.funnel import funnel
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_s=3600,
+    )
+
+
 def q_crawl_budget(spark, sf_dir):
     """Per-host crawl budget: 2-iter host PageRank (6dp) x (1 - exact
     dup rate), normalized — authority earns budget, duplicate farms
@@ -2325,6 +2353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_quantiles": q_interarrival_quantiles,
         "small_world": q_small_world,
         "crawl_budget": q_crawl_budget,
+        "keyness_by_lang": q_keyness_by_lang,
+        "token_freq_spectrum": q_token_freq_spectrum,
+        "funnel_windowed": q_funnel_windowed,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -5138,6 +5169,74 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85*sum(r.rank/r.degree) AS rank
                    FROM sym s JOIN w1d r ON s.src = r.vid GROUP BY 1)
             SELECT vid, round(rank, 6) AS rank FROM w2
+        """,
+        # keyness: Haldane-Anscombe-smoothed log-odds, textually the same
+        # arithmetic shape as the Spark columns; ln() both engines
+        "keyness_by_lang": """
+            WITH tk AS (
+              SELECT coalesce(lang, '') AS key,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (SELECT key, token, count(*) AS n FROM tk GROUP BY 1, 2),
+            kt AS (SELECT key, sum(n) AS kt FROM tf GROUP BY 1),
+            ct AS (SELECT token, sum(n) AS ct FROM tf GROUP BY 1),
+            gt AS (SELECT sum(n) AS gt FROM tf),
+            s AS (
+              SELECT f.key, f.token, f.n,
+                     round(ln((f.n + 0.5)/(k.kt - f.n + 0.5))
+                           - ln((c.ct - f.n + 0.5)
+                                /(g.gt - k.kt - (c.ct - f.n) + 0.5)), 6)
+                       AS log_odds
+              FROM tf f JOIN kt k USING (key)
+              JOIN ct c USING (token), gt g
+            )
+            SELECT key, token, n::BIGINT AS n, log_odds, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY key
+                ORDER BY log_odds DESC, token) AS rank FROM s
+            ) WHERE rank <= 10
+        """,
+        "token_freq_spectrum": """
+            WITH tk AS (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (SELECT token, count(*) AS occ FROM tk GROUP BY 1)
+            SELECT occ::BIGINT AS occurrences,
+                   count(*)::BIGINT AS n_types
+            FROM tf GROUP BY 1
+        """,
+        # windowed funnel: the funnel oracle + the exact interval gate
+        "funnel_windowed": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                     AND e.ts <= s1.t + INTERVAL 3600 SECONDS
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                     AND e.ts <= s2.t + INTERVAL 3600 SECONDS
+                   GROUP BY 1),
+            c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                         (SELECT count(*) FROM s2) AS c2,
+                         (SELECT count(*) FROM s3) AS c3)
+            SELECT 1 AS stage_idx, 'view' AS stage, c1::BIGINT AS n_users,
+                   round(c1::DOUBLE / nullif(c1, 0), 6) AS conv_from_prev,
+                   round(c1::DOUBLE / nullif(c1, 0), 6) AS conv_from_first
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', c2::BIGINT,
+                   round(c2::DOUBLE / nullif(c1, 0), 6),
+                   round(c2::DOUBLE / nullif(c1, 0), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', c3::BIGINT,
+                   round(c3::DOUBLE / nullif(c2, 0), 6),
+                   round(c3::DOUBLE / nullif(c1, 0), 6) FROM c
         """,
         # crawl budget: host-PR (rounded) x (1 - dup_rate) over the host
         # rollup, normalized; both factors come pre-rounded so the

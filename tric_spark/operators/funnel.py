@@ -22,9 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel(events: DataFrame, stages: list[str]) -> DataFrame:
+def funnel(
+    events: DataFrame, stages: list[str], max_gap_s: int | None = None
+) -> DataFrame:
     """(stage_idx, stage, n_users, conv_from_prev, conv_from_first) for
-    the ordered ``stages`` (event_type values)."""
+    the ordered ``stages`` (event_type values).
+
+    ``max_gap_s``: optional conversion window — stage i counts only when
+    its earliest witness falls within this many seconds AFTER stage
+    i−1's conversion time (the "converted within the hour" product
+    question).  Timestamp+interval arithmetic is exact integer
+    microseconds, so the windowed variant replays in SQL bit-for-bit."""
     if len(stages) < 2:
         raise ValueError("a funnel needs at least 2 stages")
     ev = events.filter(F.col("event_type").isin(stages)).select(
@@ -39,10 +47,16 @@ def funnel(events: DataFrame, stages: list[str]) -> DataFrame:
     )
     counts = [cur.count()]
     for s in stages[1:]:
+        cond = F.col("ts") > F.col("t")
+        if max_gap_s is not None:
+            cond = cond & (
+                F.col("ts")
+                <= F.col("t") + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS")
+            )
         nxt = (
             ev.filter(F.col("event_type") == s)
             .join(cur, "user_id")
-            .filter(F.col("ts") > F.col("t"))
+            .filter(cond)
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
             .localCheckpoint(eager=True)

@@ -538,3 +538,68 @@ def readability(docs: DataFrame) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+def keyness_by(
+    docs: DataFrame, key_col: str = "lang", k: int = 10
+) -> DataFrame:
+    """(key, token, n, log_odds, rank) — the k most DISTINCTIVE tokens
+    per corpus stratum by Haldane–Anscombe-smoothed log-odds
+    ln((a+½)/(A−a+½)) − ln((b+½)/(B−b+½)), a/b = in/out-of-stratum
+    counts (the "what makes this language/source different" report;
+    Monroe, Colaresi & Quinn Political Analysis 2008 §3.2 with the
+    uninformative prior).  Ranks on the ROUNDED log-odds with token
+    tie-break.
+
+    Shape: ONE tf groupBy(key, token) (the same first stage as tfidf),
+    a corpus-total groupBy(token), two broadcast-joined 1-row/short
+    total frames, then the per-key top-k window — partitioned by key,
+    no global sort.  NULL keys form their own stratum; empty tokens are
+    dropped."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.coalesce(F.col(key_col), F.lit("")).alias("key"),
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("key", "token").agg(F.count(F.lit(1)).alias("n"))
+    ktot = tf.groupBy("key").agg(F.sum("n").alias("kt"))
+    ctot = tf.groupBy("token").agg(F.sum("n").alias("ct"))
+    gtot = tf.agg(F.sum("n").alias("gt"))
+    j = (
+        tf.join(F.broadcast(ktot), "key")
+        .join(ctot, "token")
+        .crossJoin(F.broadcast(gtot))
+    )
+    a = F.col("n") + 0.5
+    na = F.col("kt") - F.col("n") + 0.5
+    b = F.col("ct") - F.col("n") + 0.5
+    nb = F.col("gt") - F.col("kt") - (F.col("ct") - F.col("n")) + 0.5
+    scored = j.select(
+        "key",
+        "token",
+        "n",
+        F.round(F.log(a / na) - F.log(b / nb), 6).alias("log_odds"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("log_odds").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def token_freq_spectrum(docs: DataFrame) -> DataFrame:
+    """(occurrences, n_types) — the frequency-of-frequencies spectrum
+    (how many token TYPES occur exactly k times): the Good–Turing
+    smoothing input and the standard vocabulary-burstiness diagnostic
+    (n_1/N estimates the unseen-token mass).  Two chained groupBys, both
+    map-side combinable; output cardinality = distinct frequencies."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.filter(tokens_col(), lambda t: t != F.lit(""))).alias(
+            "token"
+        )
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
+    return tf.groupBy("occurrences").agg(F.count(F.lit(1)).alias("n_types"))
