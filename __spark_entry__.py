@@ -2249,6 +2249,23 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_random_failure(spark, sf_dir):
+    """Random-failure percolation twin of attack_robustness (md5-coin
+    removal) — the failure-vs-attack contrast readout."""
+    from tric_spark.operators.robustness import random_failure_robustness
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return random_failure_robustness(sym, deg, fractions=(0.0, 0.10, 0.30))
+
+
+def q_embedding_anisotropy(spark, sf_dir):
+    """Mean pairwise cosine of unit-normalized embeddings via the
+    closed form (||sum u||^2 - n)/(n(n-1)) — no pairwise join."""
+    from tric_spark.operators.embstats import embedding_anisotropy
+
+    return embedding_anisotropy(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_keyness_by_lang(spark, sf_dir):
     """Top-10 most distinctive tokens per language by smoothed log-odds
     (Monroe et al. keyness) — ranks on the rounded score."""
@@ -2356,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_by_lang": q_keyness_by_lang,
         "token_freq_spectrum": q_token_freq_spectrum,
         "funnel_windowed": q_funnel_windowed,
+        "random_failure": q_random_failure,
+        "embedding_anisotropy": q_embedding_anisotropy,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -4123,10 +4142,73 @@ def _attack_sql(fractions=(0.0, 0.05, 0.10)) -> str:
     )
 
 
+def _fail_sql(fractions=(0.0, 0.10, 0.30), seed: int = 7) -> str:
+    """Random-failure twin of _attack_sql: kept = md5 coin >= f (the
+    dataset_split uniform convention), then the same closure readout."""
+    blocks, outs = [], []
+    for i, f in enumerate(fractions):
+        blocks.append(
+            f"""
+            kept{i} AS (SELECT vid FROM deg
+                        WHERE ('0x' || substr(md5('split:{seed}:'
+                                || vid::VARCHAR), 1, 12))::BIGINT
+                              / 281474976710656.0 >= {float(f)!r}),
+            ks{i} AS (SELECT s.src, s.dst FROM sym s
+                      JOIN kept{i} a ON a.vid = s.src
+                      JOIN kept{i} b ON b.vid = s.dst),
+            r{i}(vid, x) AS (
+              SELECT vid, vid FROM kept{i}
+              UNION
+              SELECT s.dst, r{i}.x FROM ks{i} s
+              JOIN r{i} ON r{i}.vid = s.src),
+            c{i} AS (SELECT vid, min(x) AS comp FROM r{i} GROUP BY vid),
+            g{i} AS (SELECT max(s) AS g FROM (
+              SELECT comp, count(*) AS s FROM c{i} GROUP BY comp)),
+            o{i} AS (SELECT {float(f)!r} AS frac,
+                     nv.n - (SELECT count(*) FROM kept{i}) AS n_removed,
+                     (SELECT count(*) FROM kept{i})::BIGINT AS n_remaining,
+                     g{i}.g::BIGINT AS giant_size,
+                     round(g{i}.g
+                           / (1.0*(SELECT count(*) FROM kept{i})), 6)
+                       AS giant_frac
+                     FROM nv, g{i})"""
+        )
+        outs.append(f"SELECT * FROM o{i}")
+    return (
+        "WITH RECURSIVE "
+        + E
+        + ", nv AS (SELECT count(*) AS n FROM deg),"
+        + ",".join(blocks)
+        + " "
+        + " UNION ALL ".join(outs)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tc_sql = f"WITH {E}, {_TRI} SELECT count(*) AS tc FROM tri"
     return {
         "attack_robustness": _attack_sql(),
+        "random_failure": _fail_sql(),
+        # anisotropy closed form: per-dim sums of unit vectors
+        "embedding_anisotropy": """
+            WITH e2 AS (
+              SELECT v, nrm FROM (
+                SELECT embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x*x))) AS nrm
+                FROM embeddings WHERE embedding IS NOT NULL
+              ) WHERE nrm > 0
+            ),
+            ex AS (SELECT unnest(v) AS val,
+                          unnest(range(1, len(v) + 1)) AS dim, nrm
+                   FROM e2),
+            pd AS (SELECT dim, sum(val/nrm) AS s FROM ex GROUP BY 1),
+            s2 AS (SELECT sum(s*s) AS s2 FROM pd),
+            n AS (SELECT count(*) AS n FROM e2)
+            SELECT n::BIGINT AS n,
+                   round((s2 - n)/(n*(n - 1.0)), 6) AS mean_cosine
+            FROM s2, n
+        """,
         # CPM k=3: triangle-edge keys src*1e7+dst, pairwise-connected per
         # triangle, recursive-CTE reachability closure, community = min
         # reachable key (mirrors operators/percolation.py; closure is

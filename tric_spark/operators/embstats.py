@@ -77,3 +77,37 @@ def whiten_embeddings(
         .otherwise(F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6))
         .alias("w"),
     )
+
+
+def embedding_anisotropy(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One row (n, mean_cosine) — the corpus anisotropy score: the mean
+    pairwise cosine over all ordered pairs of unit-normalized vectors
+    (Ethayarajh, EMNLP 2019 — contextual embeddings cluster in a narrow
+    cone; mean cosine ≈ 0 is isotropic).  Closed form, NO pairwise join:
+    with S = Σ uᵢ, Σ_{i≠j} uᵢ·uⱼ = ‖S‖² − n, so the whole statistic is
+    one normalize pass + one per-dimension sum + one scalar fold.
+    Zero-norm and NULL vectors are excluded (n reports the rest)."""
+    e1 = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    ex = e1.select(F.posexplode("v").alias("dim", "val"), "nrm").select(
+        "dim", (F.col("val").cast("double") / F.col("nrm")).alias("u")
+    )
+    per_dim = ex.groupBy("dim").agg(F.sum("u").alias("s"))
+    s2 = per_dim.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    nn = e1.agg(F.count(F.lit(1)).alias("n"))
+    return s2.crossJoin(F.broadcast(nn)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0)), 6
+        ).alias("mean_cosine"),
+    )

@@ -73,3 +73,57 @@ def attack_robustness(
         "frac double, d_threshold long, n_removed long, n_remaining long,"
         " giant_size long, giant_frac double",
     )
+
+
+def random_failure_robustness(
+    sym_edges: DataFrame,
+    degrees: DataFrame,
+    fractions: tuple[float, ...] = (0.0, 0.10, 0.30),
+    seed: int = 7,
+) -> DataFrame:
+    """(frac, n_removed, n_remaining, giant_size, giant_frac) — the
+    RANDOM-failure twin of :func:`attack_robustness`: each vertex fails
+    when its deterministic md5 coin (split.split_key — the repo's
+    engine-replayable uniform) lands below f.  Contrast with the
+    targeted curve is the Albert–Jeong–Barabási result itself: scale-free
+    graphs barely notice random failure at fractions that shatter them
+    under hub attack."""
+    from tric_spark.operators.cc import connected_components
+    from tric_spark.operators.split import split_key
+
+    spark = sym_edges.sparkSession
+    n = degrees.count()
+    coin = split_key(F.col("vid"), seed=seed)
+    rows = []
+    for f in fractions:
+        kept = degrees.select("vid", coin.alias("u")).filter(
+            F.col("u") >= F.lit(float(f))
+        ).select("vid")
+        kept_sym = sym_edges.join(
+            kept.withColumnRenamed("vid", "src"), "src", "left_semi"
+        ).join(kept.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        n_kept = kept.count()
+        giant = 0
+        if n_kept:
+            giant = (
+                connected_components(kept_sym, kept)
+                .groupBy("comp")
+                .agg(F.count(F.lit(1)).alias("s"))
+                .agg(F.max("s").alias("g"))
+                .first()[0]
+                or 0
+            )
+        rows.append(
+            (
+                float(f),
+                int(n - n_kept),
+                int(n_kept),
+                int(giant),
+                round(giant / n_kept, 6) if n_kept else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "frac double, n_removed long, n_remaining long, giant_size long,"
+        " giant_frac double",
+    )
