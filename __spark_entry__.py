@@ -2249,6 +2249,25 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_curation_manifest(spark, sf_dir):
+    """Per-language curation manifest: raw docs, exact-unique reps
+    (md5 within stratum, min-doc_id representative), gate survivors
+    (30<=tokens<=100k, 2<=mean word len<=12), kept token budget."""
+    from tric_spark.pipeline import curation_manifest
+
+    return curation_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def q_degree_pair_histogram(spark, sf_dir):
+    """Joint degree-degree log2-bucket histogram over directed edge
+    endpoints — the 2-D assortativity view; buckets are exact
+    bit_length(degree)-1 integers."""
+    from tric_spark.operators.digraph_stats import degree_pair_histogram
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return degree_pair_histogram(sym, deg)
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure percolation twin of attack_robustness (md5-coin
     removal) — the failure-vs-attack contrast readout."""
@@ -2375,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "random_failure": q_random_failure,
         "embedding_anisotropy": q_embedding_anisotropy,
+        "curation_manifest": q_curation_manifest,
+        "degree_pair_histogram": q_degree_pair_histogram,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
         "embedding_dim_stats": q_embedding_dim_stats,
@@ -4189,6 +4210,50 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # curation manifest: stats pass (list_sum/list_transform mwl twin)
+        # -> per-(lang, md5) min-doc_id reps -> gate -> per-lang joins
+        "curation_manifest": """
+            WITH st AS MATERIALIZED (
+              SELECT doc_id, coalesce(lang, '') AS lang, md5(text) AS h,
+                     len(ftoks) AS n_tokens,
+                     round(coalesce(list_sum(list_transform(ftoks,
+                             x -> length(x))), 0)::DOUBLE
+                           / greatest(len(ftoks), 1), 6) AS mwl
+              FROM (SELECT doc_id, lang, text,
+                           list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS ftoks
+                    FROM documents WHERE text IS NOT NULL)
+            ),
+            nd AS (SELECT lang, count(*) AS n_docs FROM st GROUP BY 1),
+            reps AS (SELECT lang, h, min(doc_id) AS doc_id FROM st
+                     GROUP BY 1, 2),
+            nu AS (SELECT lang, count(*) AS n_unique FROM reps GROUP BY 1),
+            kept AS (
+              SELECT r.lang, count(*) AS n_kept,
+                     sum(s.n_tokens) AS kept_tokens
+              FROM reps r JOIN st s ON s.doc_id = r.doc_id
+              WHERE s.n_tokens >= 30 AND s.n_tokens <= 100000
+                AND s.mwl >= 2.0 AND s.mwl <= 12.0
+              GROUP BY 1
+            )
+            SELECT nd.lang, nd.n_docs::BIGINT AS n_docs,
+                   coalesce(nu.n_unique, 0)::BIGINT AS n_unique,
+                   coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(kept.kept_tokens, 0)::BIGINT AS kept_tokens
+            FROM nd LEFT JOIN nu ON nu.lang = nd.lang
+            LEFT JOIN kept ON kept.lang = nd.lang
+        """,
+        # joint degree histogram: bit_length-1 buckets (exact integers)
+        "degree_pair_histogram": f"""
+            WITH {E}
+            SELECT length(bin(du.degree)) - 1 AS bucket_src,
+                   length(bin(dv.degree)) - 1 AS bucket_dst,
+                   count(*)::BIGINT AS n_edges
+            FROM sym s
+            JOIN deg du ON du.vid = s.src
+            JOIN deg dv ON dv.vid = s.dst
+            GROUP BY 1, 2
+        """,
         # anisotropy closed form: per-dim sums of unit vectors
         "embedding_anisotropy": """
             WITH e2 AS (

@@ -219,3 +219,23 @@ def triangle_null_ratio(canon_edges: DataFrame, degrees: DataFrame) -> DataFrame
             F.lit(float(tri)) / (F.pow(F.col("s") / (2.0 * m), 3) / 6.0), 6
         ).alias("ratio"),
     )
+
+
+def degree_pair_histogram(
+    sym_edges: DataFrame, degrees: DataFrame
+) -> DataFrame:
+    """(bucket_src, bucket_dst, n_edges) — the joint degree-degree
+    distribution over directed edge endpoints in log2 buckets (bucket =
+    bit_length(degree)−1, an EXACT integer — no floating log at power-of-
+    two boundaries).  The 2-D view behind the scalar assortativity:
+    hub→hub vs hub→leaf mixing at a glance.  Two broadcast-sized joins
+    against the degree table + one groupBy."""
+    b = (F.length(F.bin(F.col("degree"))) - 1).alias("b")
+    du = degrees.select(F.col("vid").alias("src"), b.alias("bucket_src"))
+    dv = degrees.select(F.col("vid").alias("dst"), b.alias("bucket_dst"))
+    return (
+        sym_edges.join(du, "src")
+        .join(dv, "dst")
+        .groupBy("bucket_src", "bucket_dst")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

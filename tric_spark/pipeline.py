@@ -225,3 +225,82 @@ def run_pipeline(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics
+
+
+def curation_manifest(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """(lang, n_docs, n_unique, n_kept, kept_tokens) — the corpus
+    curation manifest: per language stratum, raw doc count, exact-unique
+    count (md5-of-text WITHIN the stratum; representative = min doc_id),
+    representatives surviving the length/word-shape gate, and their
+    token budget.  This is the summary table a data release ships next
+    to the shards — the end-to-end readout over the dedup + quality
+    stages (dedup.py / quality_filter.py hold the full per-doc paths).
+
+    Shape: one stats pass (token count + 6dp mean word length, all HOF
+    expressions instantiated once), one (lang, md5) groupBy for
+    representatives, one gate filter, three per-lang aggregates joined
+    on lang — every stage map-side combinable, no windows, no collect.
+    NULL-text docs are excluded throughout; NULL langs form their own
+    stratum."""
+    from tric_spark.operators.textstats import tokens_col
+
+    toks = F.filter(tokens_col(), lambda t: t != F.lit(""))
+    st = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            F.md5("text").alias("h"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "h",
+            F.size("toks").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.transform("toks", lambda w: F.length(w)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.greatest(F.size("toks"), F.lit(1)),
+                6,
+            ).alias("mwl"),
+        )
+        .localCheckpoint(eager=True)  # feeds counts + reps + gate
+    )
+    n_docs = st.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    reps = st.groupBy("lang", "h").agg(F.min("doc_id").alias("doc_id"))
+    n_unique = reps.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    kept = (
+        reps.join(st.select("doc_id", "n_tokens", "mwl"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("mwl") >= min_mean_word_len)
+            & (F.col("mwl") <= max_mean_word_len)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        n_docs.join(n_unique, "lang", "left")
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
