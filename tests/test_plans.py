@@ -121,3 +121,25 @@ def test_tpch_q4_semi_join_and_pushdown(spark):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     li_scan = [ln for ln in scans if "l_orderkey" in ln]
     assert li_scan and "l_extendedprice" not in li_scan[0], scans
+
+
+def test_readability_plan_is_map_only(spark):
+    """Flesch must be a single map stage over the scan: no shuffle
+    Exchange, no Python eval — the HOF fold runs in JVM expressions."""
+    from tric_spark.operators.textstats import readability
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(readability(docs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_whiten_plan_broadcasts_stats(spark):
+    """The whitening join must broadcast the |dims|-row stats frame — a
+    SortMergeJoin would shuffle the exploded wide data twice."""
+    from tric_spark.operators.embstats import whiten_embeddings
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(whiten_embeddings(emb))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
