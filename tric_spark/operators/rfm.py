@@ -11,6 +11,12 @@ broadcast frames; scoring is then a map-only comparison and the grid is
 one map-side-combinable groupBy.  Deterministic across engines: monetary
 is ROUNDED to 6dp before thresholding (rank-on-the-rounded-key rule, see
 sampling.py), recency/frequency are exact types.
+
+Scale note: the monetary value-histogram cardinality approaches the user
+count (6dp sums rarely collide), so its cumulative window sees ~n_users
+rows in one partition — exact_quantiles' documented trade.  At web scale
+round monetary coarser (cents) before calling; that collapses the
+histogram by orders of magnitude without moving any quartile materially.
 """
 
 from __future__ import annotations
