@@ -2249,6 +2249,14 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (first-activity ISO week x offset,
+    exact day-arithmetic offsets)."""
+    from tric_spark.operators.anomaly import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), unit="week")
+
+
 def q_curation_manifest(spark, sf_dir):
     """Per-language curation manifest: raw docs, exact-unique reps
     (md5 within stratum, min-doc_id representative), gate survivors
@@ -2395,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_failure": q_random_failure,
         "embedding_anisotropy": q_embedding_anisotropy,
         "curation_manifest": q_curation_manifest,
+        "cohort_retention": q_cohort_retention,
         "degree_pair_histogram": q_degree_pair_histogram,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
@@ -4210,6 +4219,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # cohort matrix: truncated-week day-diff div 7 (exact ints)
+        "cohort_retention": """
+            WITH ev AS (SELECT user_id, date_trunc('week', ts) AS p
+                        FROM events WHERE user_id IS NOT NULL),
+            f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, p FROM ev),
+            j AS (SELECT a.user_id, f.cohort,
+                         date_diff('day', f.cohort::DATE, a.p::DATE) // 7
+                           AS period_offset
+                  FROM a JOIN f USING (user_id)),
+            m AS (SELECT cohort, period_offset,
+                         count(DISTINCT user_id) AS n_users
+                  FROM j GROUP BY 1, 2),
+            s AS (SELECT cohort, n_users AS c0 FROM m WHERE period_offset = 0)
+            SELECT m.cohort, m.period_offset, m.n_users::BIGINT AS n_users,
+                   round(m.n_users / (1.0*s.c0), 6) AS retention
+            FROM m JOIN s USING (cohort)
+        """,
         # curation manifest: stats pass (list_sum/list_transform mwl twin)
         # -> per-(lang, md5) min-doc_id reps -> gate -> per-lang joins
         "curation_manifest": """

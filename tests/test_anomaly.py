@@ -56,3 +56,33 @@ def test_rate_anomalies_match_brute_force(spark):
         assert ga == wa, k
     # at least some rows have a defined z (the window has history)
     assert any(v[3] is not None for v in want.values())
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from tric_spark.operators.anomaly import cohort_retention
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # user 1: weeks 0, 1, 2 ; user 2: weeks 0, 2 ; user 3: week 1 only
+        (0, mon, 1), (1, mon + datetime.timedelta(days=8), 1),
+        (2, mon + datetime.timedelta(days=15), 1),
+        (3, mon + datetime.timedelta(days=2), 2),
+        (4, mon + datetime.timedelta(days=16), 2),
+        (5, mon + datetime.timedelta(days=9), 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 0.0, None) for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.cohort.date().isoformat(), r.period_offset): (r.n_users, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 1.0)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert ("2024-01-08", 1) not in got

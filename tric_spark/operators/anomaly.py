@@ -110,3 +110,41 @@ def daily_retention(events: DataFrame) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+def cohort_retention(events: DataFrame, unit: str = "week") -> DataFrame:
+    """(cohort, period_offset, n_users, retention) — the classic cohort matrix:
+    users grouped by their first-activity period (ISO ``unit`` truncation,
+    Monday weeks), columns count who was active again ``period_offset`` periods
+    later, retention = share of the cohort (6dp).
+
+    Offsets come from exact day arithmetic on truncated periods
+    (days-difference div period-length — truncated inputs make the
+    division exact, no engine-specific "week boundary" semantics).  Two
+    groupBys + one join; output cardinality = periods², never data-sized.
+    NULL users are excluded."""
+    days = {"week": 7, "day": 1}[unit]
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", F.date_trunc(unit, F.col("ts")).alias("p")
+    )
+    first = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    act = ev.distinct()
+    joined = act.join(first, "user_id").select(
+        "user_id",
+        "cohort",
+        F.expr(
+            f"datediff(to_date(p), to_date(cohort)) div {days}"
+        ).alias("period_offset"),
+    )
+    m = joined.groupBy("cohort", "period_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    size = m.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("c0")
+    )
+    return m.join(size, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("c0"), 6).alias("retention"),
+    )
