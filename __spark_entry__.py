@@ -2249,6 +2249,34 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_degree_gini(spark, sf_dir):
+    """Exact Gini concentration of the degree distribution (sort-free,
+    integer arithmetic over the value histogram)."""
+    from tric_spark.operators.digraph_stats import gini_coefficient
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return gini_coefficient(deg, "degree")
+
+
+def q_host_token_gini(spark, sf_dir):
+    """Gini of per-host token budgets — how concentrated the corpus is
+    across sources (the 'one domain dominates the crawl' check)."""
+    from tric_spark.operators.digraph_stats import gini_coefficient
+    from tric_spark.operators.textstats import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_host = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.coalesce(F.col("source"), F.lit("")).alias("host"))
+        .agg(
+            F.sum(F.size(F.filter(tokens_col(), lambda t: t != F.lit("")))).alias(
+                "tokens"
+            )
+        )
+    )
+    return gini_coefficient(per_host, "tokens")
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix (first-activity ISO week x offset,
     exact day-arithmetic offsets)."""
@@ -2404,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "curation_manifest": q_curation_manifest,
         "cohort_retention": q_cohort_retention,
+        "degree_gini": q_degree_gini,
+        "host_token_gini": q_host_token_gini,
         "degree_pair_histogram": q_degree_pair_histogram,
         "cpm_communities": q_cpm_communities,
         "rfm_segments": q_rfm_segments,
@@ -4219,6 +4249,42 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # Gini: sort-free histogram identity, integer arithmetic until
+        # the final division
+        "degree_gini": f"""
+            WITH {E},
+            counts AS (SELECT degree AS v, count(*) AS c FROM deg
+                       GROUP BY 1),
+            cb AS (SELECT v, c,
+                          coalesce(sum(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cb
+                   FROM counts),
+            a AS (SELECT sum(c) AS n, sum(v*c) AS sx,
+                         sum(v*(c*cb + c*(c+1)/2)) AS s1 FROM cb)
+            SELECT n::BIGINT AS n, sx::DOUBLE AS total,
+                   round(2.0*s1/(n*sx) - (n+1.0)/n, 6) AS gini
+            FROM a
+        """,
+        "host_token_gini": """
+            WITH ph AS (
+              SELECT coalesce(source, '') AS host,
+                     sum(len(list_filter(string_split(text, ' '),
+                                         t -> t <> ''))) AS v
+              FROM documents WHERE text IS NOT NULL GROUP BY 1
+            ),
+            counts AS (SELECT v, count(*) AS c FROM ph GROUP BY 1),
+            cb AS (SELECT v, c,
+                          coalesce(sum(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cb
+                   FROM counts),
+            a AS (SELECT sum(c) AS n, sum(v*c) AS sx,
+                         sum(v*(c*cb + c*(c+1)/2)) AS s1 FROM cb)
+            SELECT n::BIGINT AS n, sx::DOUBLE AS total,
+                   round(2.0*s1/(n*sx) - (n+1.0)/n, 6) AS gini
+            FROM a
+        """,
         # cohort matrix: truncated-week day-diff div 7 (exact ints)
         "cohort_retention": """
             WITH ev AS (SELECT user_id, date_trunc('week', ts) AS p

@@ -90,3 +90,18 @@ def test_double_sweep(spark):
     assert (row["start_vid"], row["far_vid"], row["diameter_lb"]) == (1, 3, 3)
     row = double_sweep_bound(_sym(spark, STAR10), start_vid=0).collect()[0]
     assert (row["far_vid"], row["diameter_lb"]) == (1, 2)
+
+
+def test_gini_coefficient_exact(spark):
+    """Hand-checked classic cases: perfect equality -> 0; and the
+    textbook [1,2,3,4] -> 0.25."""
+    from tric_spark.operators.digraph_stats import gini_coefficient
+
+    eq = spark.createDataFrame([(5,)] * 4, "x long")
+    assert gini_coefficient(eq, "x").collect()[0].gini == 0.0
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    r = gini_coefficient(v, "x").collect()[0]
+    assert r.gini == 0.25 and r.n == 4 and r.total == 10.0
+    # concentration: one holder of everything -> (n-1)/n
+    conc = spark.createDataFrame([(0,), (0,), (0,), (12,)], "x long")
+    assert gini_coefficient(conc, "x").collect()[0].gini == 0.75

@@ -11,7 +11,7 @@ driver loops; every number is rounded 6dp so the DuckDB oracle replays it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -238,4 +238,47 @@ def degree_pair_histogram(
         .join(dv, "dst")
         .groupBy("bucket_src", "bucket_dst")
         .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def gini_coefficient(df: DataFrame, col: str) -> DataFrame:
+    """One row (n, total, gini) — the exact Gini concentration index of a
+    nonnegative numeric column, computed SORT-FREE from the value
+    histogram: with tied values occupying consecutive ranks,
+    Σ rank·x = Σ_v v·(c_v·cb_v + c_v(c_v+1)/2) (cb = count of smaller
+    values), and G = 2·Σrank·x/(n·Σx) − (n+1)/n.  Everything up to the
+    final division is INTEGER arithmetic for integer inputs — no float
+    ordering anywhere, bit-identical across engines.  The inequality
+    readout for web graphs (degree/traffic concentration: G ≈ 0.6–0.9
+    on real link graphs) and corpus budgets (tokens per host).
+
+    Scale shape: one groupBy(value) + a cumulative window over the VALUE
+    histogram (cardinality = distinct values, the exact_quantiles trade)
+    + one scalar fold."""
+    counts = df.select(F.col(col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cb = counts.select(
+        "v", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
+    )
+    agg = cb.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("c") * F.col("cb")
+                + F.col("c") * (F.col("c") + 1) / 2
+            )
+        ).alias("s1"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("double").alias("total"),
+        F.round(
+            2.0 * F.col("s1") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
     )
