@@ -2249,6 +2249,15 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_neighbor_degree_curve(spark, sf_dir):
+    """knn(k) average-neighbor-degree curve — the disassortativity
+    fingerprint real web graphs show (hubs link to leaves)."""
+    from tric_spark.operators.digraph_stats import neighbor_degree_curve
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return neighbor_degree_curve(sym, deg)
+
+
 def q_degree_gini(spark, sf_dir):
     """Exact Gini concentration of the degree distribution (sort-free,
     integer arithmetic over the value histogram)."""
@@ -2432,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "curation_manifest": q_curation_manifest,
         "cohort_retention": q_cohort_retention,
+        "neighbor_degree_curve": q_neighbor_degree_curve,
         "degree_gini": q_degree_gini,
         "host_token_gini": q_host_token_gini,
         "degree_pair_histogram": q_degree_pair_histogram,
@@ -4249,6 +4259,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # knn(k): avg over degree-k vertices of mean neighbor degree
+        "neighbor_degree_curve": f"""
+            WITH {E},
+            pv AS (
+              SELECT s.src AS vid, sum(d.degree)/(1.0*count(*)) AS and_v
+              FROM sym s JOIN deg d ON d.vid = s.dst
+              GROUP BY 1
+            )
+            SELECT g.degree, count(*)::BIGINT AS n_vertices,
+                   round(avg(pv.and_v), 6) AS knn
+            FROM pv JOIN deg g ON g.vid = pv.vid
+            GROUP BY 1
+        """,
         # Gini: sort-free histogram identity, integer arithmetic until
         # the final division
         "degree_gini": f"""

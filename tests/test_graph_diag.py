@@ -105,3 +105,17 @@ def test_gini_coefficient_exact(spark):
     # concentration: one holder of everything -> (n-1)/n
     conc = spark.createDataFrame([(0,), (0,), (0,), (12,)], "x long")
     assert gini_coefficient(conc, "x").collect()[0].gini == 0.75
+
+
+def test_neighbor_degree_curve_star(spark):
+    """Star over 3 leaves: center (deg 3) has knn 1; leaves (deg 1)
+    have knn 3 — maximally disassortative."""
+    from tric_spark.operators.digraph_stats import neighbor_degree_curve
+
+    sym = _sym(spark, [(0, 1), (0, 2), (0, 3)])
+    deg = graph.degrees(sym)
+    got = {
+        r.degree: (r.n_vertices, r.knn)
+        for r in neighbor_degree_curve(sym, deg).collect()
+    }
+    assert got == {3: (1, 1.0), 1: (3, 3.0)}

@@ -282,3 +282,29 @@ def gini_coefficient(df: DataFrame, col: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def neighbor_degree_curve(
+    sym_edges: DataFrame, degrees: DataFrame
+) -> DataFrame:
+    """(degree, n_vertices, knn) — the average-neighbor-degree curve
+    knn(k) (Pastor-Satorras, Vázquez & Vespignani PRL 2001): per vertex,
+    mean degree of its neighbors; averaged over all degree-k vertices.
+    Decreasing knn(k) = disassortative (the web's signature — hubs link
+    to leaves); the curve form of the scalar assortativity.  Two joins
+    against the degree table + two groupBys, 6dp."""
+    dv = degrees.select(F.col("vid").alias("dst"), F.col("degree").alias("dd"))
+    per_v = (
+        sym_edges.join(dv, "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("dd").alias("sd"), F.count(F.lit(1)).alias("d"))
+        .select("vid", (F.col("sd") / F.col("d")).alias("and_v"))
+    )
+    return (
+        per_v.join(degrees, "vid")
+        .groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.round(F.avg("and_v"), 6).alias("knn"),
+        )
+    )
