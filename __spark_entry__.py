@@ -2249,6 +2249,27 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_user_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy — the behavioral-diversity
+    bot signal (high volume + near-zero entropy = scripted account)."""
+    from tric_spark.operators.anomaly import user_activity_entropy
+
+    return user_activity_entropy(load_table(spark, sf_dir, "events"))
+
+
+def q_intra_host_share(spark, sf_dir):
+    """Share of page links staying inside their host — the
+    navigational-vs-content split the host rollup compresses away."""
+    from tric_spark.operators.hostgraph import intra_host_share
+    from tric_spark.sources.doc_graph import doc_edges_directed
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").alias("vid"), F.col("source").alias("grp")
+    )
+    return intra_host_share(doc_edges_directed(spark, sf_dir), groups)
+
+
 def q_neighbor_degree_curve(spark, sf_dir):
     """knn(k) average-neighbor-degree curve — the disassortativity
     fingerprint real web graphs show (hubs link to leaves)."""
@@ -2441,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "curation_manifest": q_curation_manifest,
         "cohort_retention": q_cohort_retention,
+        "user_entropy": q_user_entropy,
+        "intra_host_share": q_intra_host_share,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "degree_gini": q_degree_gini,
         "host_token_gini": q_host_token_gini,
@@ -4259,6 +4282,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # user entropy: H = ln n - (sum c ln c)/n; ln() not log()
+        "user_entropy": """
+            WITH tf AS (
+              SELECT user_id, event_type, count(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT user_id, sum(c)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_types,
+                   round(ln(sum(c)) - sum(c*ln(c))/sum(c), 6) AS entropy
+            FROM tf GROUP BY user_id
+        """,
+        # intra-host share over the DIRECTED page links
+        "intra_host_share": f"""
+            WITH {E}, {DOC_DIRECTED_SQL.strip()},
+            g AS (SELECT doc_id AS vid, source AS grp FROM documents),
+            j AS (SELECT gs.grp AS a, gd.grp AS b
+                  FROM dlinks e
+                  JOIN g gs ON gs.vid = e.src
+                  JOIN g gd ON gd.vid = e.dst)
+            SELECT sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                     AS n_intra,
+                   sum(CASE WHEN a <> b THEN 1 ELSE 0 END)::BIGINT
+                     AS n_inter,
+                   round(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                         / (1.0*count(*)), 6) AS intra_share
+            FROM j
+        """,
         # knn(k): avg over degree-k vertices of mean neighbor degree
         "neighbor_degree_curve": f"""
             WITH {E},

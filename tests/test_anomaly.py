@@ -86,3 +86,30 @@ def test_cohort_retention_matrix(spark):
     assert got[("2024-01-01", 2)] == (2, 1.0)
     assert got[("2024-01-08", 0)] == (1, 1.0)
     assert ("2024-01-08", 1) not in got
+
+
+def test_user_activity_entropy(spark):
+    import math
+
+    from tric_spark.operators.anomaly import user_activity_entropy
+
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: 2xA + 2xB (max entropy ln 2); user 2: 4xA (entropy 0)
+    rows = [(1, "A"), (1, "A"), (1, "B"), (1, "B")] + [(2, "A")] * 4
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(minutes=i), u, t, 0.0, None)
+            for i, (u, t) in enumerate(rows)
+        ] + [(99, base, None, "A", 0.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.entropy)
+        for r in user_activity_entropy(df).collect()
+    }
+    assert got == {
+        1: (4, 2, round(math.log(2), 6)),
+        2: (4, 1, 0.0),
+    }

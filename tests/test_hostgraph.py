@@ -115,3 +115,17 @@ def test_pipeline_hostgraph_end_to_end(spark):
     )
     total = he.agg(F.sum("n_links")).collect()[0][0]
     assert total > 0
+
+
+def test_intra_host_share(spark):
+    from tric_spark.operators.hostgraph import intra_host_share
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (3, 0)], "src long, dst long"
+    )
+    groups = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "a")], "vid long, grp string"
+    )
+    r = intra_host_share(edges, groups).collect()[0]
+    # intra: 0->1, 1->3, 3->0 ; inter: 0->2
+    assert (r.n_intra, r.n_inter, r.intra_share) == (3, 1, 0.75)

@@ -148,3 +148,35 @@ def cohort_retention(events: DataFrame, unit: str = "week") -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / F.col("c0"), 6).alias("retention"),
     )
+
+
+def user_activity_entropy(events: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_types, entropy) — per-user Shannon entropy
+    (nats) of the event-type mix: H = ln(n) − (Σ c·ln c)/n.  The
+    behavioral-diversity bot signal (scripted accounts hammer one event
+    type → entropy ≈ 0 at high volume; lexical_diversity's exact shape
+    applied to the event stream).  One groupBy(user, type) with map-side
+    partial counts + one per-user aggregate; ln is natural log in BOTH
+    engines (DuckDB log() is base-10 — engine lore).  NULL users
+    excluded; 6dp."""
+    tf = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.log("c")).alias("_clc"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log("n_events") - F.col("_clc") / F.col("n_events"), 6
+            ).alias("entropy"),
+        )
+    )

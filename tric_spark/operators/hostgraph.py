@@ -92,3 +92,31 @@ def host_pagerank(
         F.col("n_links").cast("double").alias("weight"),
     )
     return weighted_pagerank(dw, hosts, d=d, tol=tol, max_iter=max_iter)
+
+
+def intra_host_share(
+    directed_edges: DataFrame, groups: DataFrame
+) -> DataFrame:
+    """One row (n_intra, n_inter, intra_share) — the share of page links
+    that stay inside their host (``groups``: (vid, grp)).  The
+    navigational-vs-content split every host-rollup starts by reporting:
+    real web crawls run ~75-90% intra-host (Broder et al. 2000 §4), and
+    the number calibrates how much the host graph compresses the page
+    graph.  Two joins against the (broadcastable) host map + one scalar
+    aggregate; 6dp."""
+    gs = groups.select(F.col("vid").alias("src"), F.col("grp").alias("gs"))
+    gd = groups.select(F.col("vid").alias("dst"), F.col("grp").alias("gd"))
+    j = directed_edges.join(gs, "src").join(gd, "dst")
+    return j.agg(
+        F.sum(F.when(F.col("gs") == F.col("gd"), 1).otherwise(0)).alias(
+            "n_intra"
+        ),
+        F.sum(F.when(F.col("gs") != F.col("gd"), 1).otherwise(0)).alias(
+            "n_inter"
+        ),
+        F.round(
+            F.sum(F.when(F.col("gs") == F.col("gd"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("intra_share"),
+    )
