@@ -2249,6 +2249,15 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(sym, deg, fractions=(0.0, 0.05, 0.10))
 
 
+def q_degree_ccdf(spark, sf_dir):
+    """Complementary cumulative degree distribution P(D >= k) — the
+    log-log power-law readout, computed over the value histogram."""
+    from tric_spark.operators.digraph_stats import degree_ccdf
+
+    canon, sym, verts, deg = _graph_tables(spark, sf_dir)
+    return degree_ccdf(deg)
+
+
 def q_user_entropy(spark, sf_dir):
     """Per-user event-type Shannon entropy — the behavioral-diversity
     bot signal (high volume + near-zero entropy = scripted account)."""
@@ -2462,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "curation_manifest": q_curation_manifest,
         "cohort_retention": q_cohort_retention,
+        "degree_ccdf": q_degree_ccdf,
         "user_entropy": q_user_entropy,
         "intra_host_share": q_intra_host_share,
         "neighbor_degree_curve": q_neighbor_degree_curve,
@@ -4282,6 +4292,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "attack_robustness": _attack_sql(),
         "random_failure": _fail_sql(),
+        # CCDF: descending cumulative over the degree histogram
+        "degree_ccdf": f"""
+            WITH {E},
+            counts AS (SELECT degree, count(*) AS c FROM deg GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM deg)
+            SELECT degree,
+                   sum(c) OVER (ORDER BY degree DESC)::BIGINT AS n_ge,
+                   round(sum(c) OVER (ORDER BY degree DESC)
+                         / (1.0*(SELECT n FROM n)), 6) AS ccdf
+            FROM counts
+        """,
         # user entropy: H = ln n - (sum c ln c)/n; ln() not log()
         "user_entropy": """
             WITH tf AS (

@@ -119,3 +119,13 @@ def test_neighbor_degree_curve_star(spark):
         for r in neighbor_degree_curve(sym, deg).collect()
     }
     assert got == {3: (1, 1.0), 1: (3, 3.0)}
+
+
+def test_degree_ccdf(spark):
+    from tric_spark.operators.digraph_stats import degree_ccdf
+
+    deg = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 5)], "vid long, degree long"
+    )
+    got = {r.degree: (r.n_ge, r.ccdf) for r in degree_ccdf(deg).collect()}
+    assert got == {5: (1, 0.25), 2: (2, 0.5), 1: (4, 1.0)}

@@ -308,3 +308,25 @@ def neighbor_degree_curve(
             F.round(F.avg("and_v"), 6).alias("knn"),
         )
     )
+
+
+def degree_ccdf(degrees: DataFrame) -> DataFrame:
+    """(degree, n_ge, ccdf) — the complementary cumulative degree
+    distribution P(D ≥ k): THE log-log plot behind every power-law claim
+    (CCDFs avoid the binning noise of raw histograms — Clauset et al.
+    2009 §3).  One histogram groupBy + one cumulative window over the
+    VALUE histogram (cardinality = distinct degrees), 6dp."""
+    counts = degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = degrees.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.select("degree", F.sum("c").over(w).alias("n_ge"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_ge",
+            F.round(F.col("n_ge") / F.col("n"), 6).alias("ccdf"),
+        )
+    )
