@@ -40,9 +40,18 @@ from tric_spark.graph import out_adjacency
 
 def _forward(
     adj: DataFrame, pivots: DataFrame, max_depth: int
-) -> tuple[DataFrame, int]:
-    """BFS with shortest-path counting from every pivot at once:
-    returns (settled (s, vid, dist, sigma), deepest level)."""
+) -> list[DataFrame]:
+    """BFS with shortest-path counting from every pivot at once: returns
+    the per-level checkpointed frames (s, vid, dist, sigma), levels[d] =
+    the vertices first reached at distance d.
+
+    r6: the settled set is a plain union of the already-checkpointed level
+    frames — the old code re-ran localCheckpoint on the growing union
+    every level, re-materializing ALL settled rows O(depth) times; a union
+    of LogicalRDD blocks is a flat scan of the same materialized data at
+    zero extra cost. Returning the levels themselves also lets the
+    backward pass read level d directly instead of filtering the full
+    settled union per superstep."""
     lvl = (
         pivots.select(F.col("vid").alias("s"))
         .distinct()
@@ -50,25 +59,25 @@ def _forward(
                 F.lit(1.0).alias("sigma"))
         .localCheckpoint(eager=True)
     )
-    settled = lvl
-    deepest = 0
+    levels = [lvl]
+    settled_keys = lvl.select("s", "vid")
     for depth in range(1, max_depth + 1):
         nxt = (
             lvl.join(adj, "vid")
             .select("s", F.explode("nbrs").alias("vid"), "sigma")
             .groupBy("s", "vid")
             .agg(F.sum("sigma").alias("sigma"))
-            .join(settled.select("s", "vid"), ["s", "vid"], "left_anti")
+            .join(settled_keys, ["s", "vid"], "left_anti")
             .withColumn("dist", F.lit(depth))
             .select("s", "vid", "dist", "sigma")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        settled = settled.union(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        settled_keys = settled_keys.union(nxt.select("s", "vid"))
         lvl = nxt
-        deepest = depth
-    return settled, deepest
+    return levels
 
 
 def betweenness_approx(
@@ -91,10 +100,13 @@ def betweenness_approx(
         raise ValueError("betweenness_approx needs a non-empty pivot set")
     adj = out_adjacency(sym_edges.select("src", "dst")).select("vid", "nbrs").cache()
 
-    settled, deepest = _forward(adj, pivots, max_depth)
+    levels = _forward(adj, pivots, max_depth)
+    deepest = len(levels) - 1
 
-    # backward dependency accumulation, level by level from the deepest
-    delta = settled.filter(F.col("dist") == deepest).select(
+    # backward dependency accumulation, level by level from the deepest —
+    # each level read directly from its checkpointed forward frame (r6:
+    # no filter over the full settled union per superstep)
+    delta = levels[deepest].select(
         "s", "vid", "sigma", F.lit(0.0).alias("delta")
     ).localCheckpoint(eager=True)
     acc = [delta]
@@ -110,7 +122,7 @@ def betweenness_approx(
             .groupBy("s", "vid")
             .agg(F.sum("m").alias("msum"))
         )
-        cur = settled.filter(F.col("dist") == lvl)
+        cur = levels[lvl]
         delta = (
             cur.join(msum, ["s", "vid"], "left")
             .select(

@@ -49,7 +49,10 @@ def harmonic_closeness_approx(
     if k == 0:
         raise ValueError("harmonic_closeness_approx needs a non-empty pivot set")
     adj = out_adjacency(sym_edges.select("src", "dst")).select("vid", "nbrs").cache()
-    settled, _ = _forward(adj, pivots, max_depth)
+    levels = _forward(adj, pivots, max_depth)
+    settled = levels[0]
+    for lv in levels[1:]:
+        settled = settled.union(lv)
     scale = float(n) / float(k)
     agg = (
         settled.filter(F.col("dist") > 0)

@@ -167,6 +167,13 @@ def lsh_candidate_pairs(
     ``max_bucket``/``audit``: bucket-size blowup guard, ON by default
     (``None`` = explicit opt-out), see :func:`banded_candidate_pairs`.
     """
+    # r6 note: the signature aggregate feeds every band frame and its
+    # bucket guard, but it sits above a shuffle Exchange that AQE reuses
+    # at runtime across all references within the single action — an
+    # explicit localCheckpoint here measured SLOWER (3.6-4.3 s → 5.4-6.2 s
+    # isolated best-of-3), so the frame stays lazy. Contrast
+    # embedding_neardup_pairs, whose signature is a map with no exchange
+    # to reuse and genuinely needs the cut.
     sig = minhash_signatures(docs, k, ngram)
     n_bands = k // rows_per_band
     banded_frames = []
@@ -270,16 +277,25 @@ def neardup_groups(
         member_rep = None
         verify_docs = docs
 
+    # r6: the verified-pair frame feeds CC through sym (both orientations),
+    # its vertex derivation, AND the CC kernel's cached adjacency — those
+    # are SEPARATE actions, so without a cut the entire LSH+verify pipeline
+    # re-executed per consumer (guide §2.4). cache() computes it once at
+    # the first action; released once CC's state is materialized.
     pairs = (
         ngram_jaccard_pairs(verify_docs, candidates, ngram)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b")
+        .cache()
     )
     sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     verts = sym.select(F.col("src").alias("vid")).distinct()
     comp = connected_components(sym, verts)
+    # comp is checkpointed and CC's adjacency cache is materialized —
+    # nothing lazy references pairs anymore
+    pairs.unpersist()
     rep_groups = comp.select(F.col("vid").alias("doc_id"), F.col("comp").alias("rep_id"))
     if member_rep is None:
         return rep_groups
@@ -314,7 +330,9 @@ def simhash(docs: DataFrame, bits: int = 8, ngram: int = 3) -> DataFrame:
     column form rebuilds the shingle array `bits` times)."""
     if bits > 32:
         raise ValueError("simhash supports at most 32 bits")
-    exploded = docs.select("doc_id", F.explode(shingles_col(ngram)).alias("s"))
+    exploded = docs.select(
+        "doc_id", F.explode(shingles_col(ngram)).alias("s")
+    )
     hashed = exploded.select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
     votes = [
         F.sum(
@@ -351,7 +369,10 @@ def simhash_candidates(
     never a cross join. Defaults measured at 1.6% of all pairs on the
     sf0.01 corpus. ``max_bucket``/``audit``: bucket-size blowup guard, ON
     by default (``None`` = opt-out), see :func:`banded_candidate_pairs`."""
-    sig = simhash(docs, bits, ngram)
+    # r6: same materialization as lsh_candidate_pairs — the simhash vote
+    # aggregate is referenced by every band frame and its bucket guard;
+    # checkpoint the (doc_id, sig) frame once (guide §2.4)
+    sig = simhash(docs, bits, ngram).localCheckpoint(eager=True)
     width = bits // bands
     banded_frames = [
         sig.select(

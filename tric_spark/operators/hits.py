@@ -95,8 +95,19 @@ def hits(
             .groupBy("vid")
             .agg(F.sum("c").alias("_raw"))
         )
-        upd = st.select("vid", src_col).join(raw, "vid", "left").select(
-            "vid", src_col, F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+        # r6: materialize the raw update BEFORE the norm fold — the norm's
+        # BroadcastExchange re-executes its subplan (exchange reuse does
+        # not cross a broadcast boundary, the r4 chaining lesson), so the
+        # un-cut half-step ran the join+explode+groupBy subtree twice.
+        # This checkpoint is also the per-half-step lineage cut; the norm
+        # arithmetic is unchanged, so the trajectory is bit-identical.
+        upd = (
+            st.select("vid", src_col)
+            .join(raw, "vid", "left")
+            .select(
+                "vid", src_col, F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+            )
+            .localCheckpoint(eager=True)
         )
         # L2 norm as a broadcast 1-row aggregate — in-plan, no collect;
         # NULLIF-style floor keeps an edgeless graph at 0.0 instead of NaN
@@ -113,13 +124,18 @@ def hits(
     for i in range(max_iter):
         # auth from hubs over in-links: out_adj join on the SOURCE side
         # (explode targets), then hubs from the fresh auths over out-links.
-        # The mid-iteration checkpoint is load-bearing: the hub half-step
-        # references the auth frame TWICE (its raw join and its zero-fill
-        # join), and that frame contains a BroadcastExchange (the norm
-        # aggregate) — exchange reuse does not cross broadcast boundaries
-        # (the measured r4 chaining lesson), so an uncheckpointed auth plan
-        # would execute twice per iteration.
-        a = half_step(state, out_adj, "hub", "auth").localCheckpoint(eager=True)
+        # The hub half-step references the auth frame TWICE (its raw join
+        # and its zero-fill join); both references are cheap because the
+        # half-step materialized its raw update internally — only the
+        # 1-row norm fold re-evaluates per reference.
+        # r6: the half-step checkpoints its raw update internally, so the
+        # heavy join+groupBy runs once per half-step; the outer state
+        # checkpoints stay — the next half-step references this frame
+        # twice, and an un-materialized state re-evaluates its broadcast
+        # norm fold per reference (measured slower without them).
+        a = half_step(state, out_adj, "hub", "auth").localCheckpoint(
+            eager=True
+        )
         nxt = (
             half_step(a, in_adj, "auth", "hub")
             .select("vid", "hub", "auth")

@@ -64,10 +64,15 @@ def louvain_move(
 
     for r in range(1, rounds + 1):
         active = F.pmod(F.col("vid") + F.lit(r), F.lit(2)) == 0
-        # community totals + sizes from the state (one groupBy)
+        # community totals + sizes from the state (one groupBy). r6:
+        # cached — it feeds both the candidate join and the singleton-
+        # guard join, whose differing rename projections defeat exchange
+        # reuse, so the un-cut round computed this aggregate twice.
+        # cache() computes it once and costs no extra action; released
+        # after the round's state is materialized below.
         comm = lab.groupBy("c").agg(
             F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csize")
-        )
+        ).cache()
         # k_{v,c}: edges from ACTIVE v into each neighbor community
         # (the parity filter halves the round's biggest shuffle)
         kvc = (
@@ -118,15 +123,21 @@ def louvain_move(
         w = Window.partitionBy("vid").orderBy(
             F.col("score2").desc(), F.col("c").asc()
         )
+        # r6: re-attach k from the checkpointed state instead of the deg
+        # frame — deg is a groupBy over the full edge table that was being
+        # recomputed every round; lab carries the identical k values and
+        # is already materialized.
         moved = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("vid", "c")
-            .join(deg, "vid")
+            .join(lab.select("vid", "k"), "vid")
             .select("vid", "c", "k")
         )
         nxt = moved.unionByName(lab.filter(~active).select("vid", "c", "k"))
         lab = checkpoint_cut(nxt)
+        # the new state is materialized — nothing lazy references comm
+        comm.unpersist()
 
     return lab.select("vid", F.col("c").alias("community"))
 

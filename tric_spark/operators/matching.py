@@ -67,11 +67,18 @@ def maximal_matching(
     for _ in range(total):
         if edges.isEmpty():
             break
+        # r6: cache the endpoint-min aggregate — it feeds BOTH winner-join
+        # build sides, whose differing rename projections defeat exchange
+        # reuse, so the un-cut round ran the union+groupBy over the
+        # surviving edge list twice. cache() computes it once at the
+        # first build and costs no extra action; it is released as soon
+        # as the round's state is materialized below.
         vmin = (
             edges.select(F.col("src").alias("vid"), "p")
             .union(edges.select(F.col("dst").alias("vid"), "p"))
             .groupBy("vid")
             .agg(F.min("p").alias("mp"))
+            .cache()
         )
         win = (
             edges.join(
@@ -94,6 +101,8 @@ def maximal_matching(
             .select("src", "dst", "p")
             .localCheckpoint(eager=True)
         )
+        # win and edges are materialized — nothing lazy references vmin
+        vmin.unpersist()
     if not matched:
         return canon_edges.select("src", "dst").limit(0)
     out = matched[0]

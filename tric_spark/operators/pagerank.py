@@ -202,6 +202,12 @@ def pagerank(
         # exchange reuse computes the aggregate once per action — and the
         # dangling mass is folded back in as a broadcast 1-row aggregate,
         # NOT a driver collect: the step stays fully lazy and chains.
+        # r6: materialized — the aggregate feeds the main join AND the
+        # dangling fold, and the fold's BroadcastExchange re-executes its
+        # subplan (reuse does not cross a broadcast boundary), so the
+        # un-cut superstep ran the explode+groupBy twice; the dangling
+        # branch always runs with chain=1, so this adds one cheap action
+        # and removes a full m-row re-aggregation per superstep.
         mass = (
             rk.join(adj, "vid", "left")
             .select(
@@ -212,6 +218,7 @@ def pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
@@ -296,6 +303,8 @@ def weighted_pagerank(
                     + F.lit(d) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
+        # r6: materialized for the same broadcast-fold recompute reason as
+        # the unweighted dangling branch (chain=1 here, one cheap action)
         mass = (
             rk.join(w_adj, "vid", "left")
             .select(
@@ -311,6 +320,7 @@ def weighted_pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
@@ -389,6 +399,8 @@ def personalized_pagerank(
                 ).alias("rank"),
                 "e",
             )
+        # r6: materialized for the same broadcast-fold recompute reason as
+        # the plain kernel's dangling branch (chain=1 here, one cheap action)
         mass = (
             rk.join(adj, "vid", "left")
             .select(
@@ -399,6 +411,7 @@ def personalized_pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")

@@ -92,15 +92,23 @@ def semantic_dedup(
     retain rep_id (or sample within groups, per the paper's ablations)."""
     from tric_spark.operators.cc import connected_components
 
+    # r6: the pair frame feeds CC through sym (both orientations), its
+    # vertex derivation, and the CC kernel's cached adjacency — those are
+    # SEPARATE actions, so without a cut the whole IVF + per-cell cosine
+    # pipeline re-executed per consumer (guide §2.4). cache() computes it
+    # once at the first action; released once CC's state is materialized.
     pairs = semantic_pairs(
         embeddings, threshold, n_centroids, refine, id_col, vec_col,
         max_cell, audit,
-    )
+    ).cache()
     sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     verts = sym.select(F.col("src").alias("vid")).distinct()
     comp = connected_components(sym, verts)
+    # comp is checkpointed and CC's adjacency cache is materialized —
+    # nothing lazy references pairs anymore
+    pairs.unpersist()
     return comp.select(F.col("vid").alias("vec_id"), F.col("comp").alias("rep_id"))
 
 

@@ -373,9 +373,20 @@ def embedding_neardup_pairs(
             )
         from tric_spark.operators.dedup import banded_candidate_pairs
 
-        sig = e.withColumn(
-            "sig",
-            hyperplane_signature(F.col("v"), n_planes, dims=_vec_dims(e, "v")),
+        # r6: the 32-plane signature (n_planes multiply-add folds over the
+        # vector per row) is referenced by every band frame and by each
+        # band's bucket-size guard — a map-shaped subtree Spark re-executes
+        # per reference (no exchange to reuse). Materialize (id, sig) once;
+        # banding becomes substring projections of the checkpointed 2-col
+        # frame (guide §2.4 "remove shuffles/recomputes outright").
+        sig = (
+            e.select(
+                "id",
+                hyperplane_signature(
+                    F.col("v"), n_planes, dims=_vec_dims(e, "v")
+                ).alias("sig"),
+            )
+            .localCheckpoint(eager=True)
         )
         width = n_planes // n_bands
         banded_frames = [

@@ -92,7 +92,13 @@ def fiedler_vector(
         )
         # lazy step (x + Nx)/2, then deflate against the static v1 and
         # L2-normalize — both as broadcast 1-row aggregates above the
-        # SAME joined frame
+        # SAME joined frame. r6: that frame is MATERIALIZED first — each
+        # broadcast fold re-executes its subplan (exchange reuse does not
+        # cross a BroadcastExchange boundary, the measured r4 chaining
+        # lesson), so the un-cut superstep ran the join+groupBy subtree
+        # three times (proj fold, nrm fold, main path). The checkpoint
+        # also serves as the per-superstep lineage cut; arithmetic and
+        # fold order are unchanged, so the trajectory is bit-identical.
         j = (
             x.select("vid", "v1", "x")
             .join(nx, "vid", "left")
@@ -103,6 +109,7 @@ def fiedler_vector(
                     (F.col("x") + F.coalesce("nx", F.lit(0.0))) / 2
                 ).alias("nx"),
             )
+            .localCheckpoint(eager=True)
         )
         proj = j.agg(F.sum(F.col("nx") * F.col("v1")).alias("_p"))
         defl = j.crossJoin(F.broadcast(proj)).select(
@@ -114,6 +121,9 @@ def fiedler_vector(
                 F.lit(1.0),
             ).alias("_n")
         )
+        # the state checkpoint stays: the next superstep references x
+        # twice, and an un-materialized x re-evaluates its nested
+        # broadcast folds per reference (measured 2.3× slower without it)
         x = (
             defl.crossJoin(F.broadcast(nrm))
             .select("vid", "v1", (F.col("y") / F.col("_n")).alias("x"))

@@ -121,6 +121,13 @@ def trustrank(
         # dangling host carrying its whole rank, so the single groupBy
         # yields per-vertex in-mass AND (NULL group) the dangling mass,
         # folded back ∝ e as a broadcast 1-row aggregate — fully lazy
+        # r6: the mass aggregate feeds the main join AND the dangling fold,
+        # and the fold sits under a BroadcastExchange whose subplan
+        # re-executes (exchange reuse does not cross a broadcast boundary
+        # — the measured r4 chaining lesson), so the un-cut superstep ran
+        # the explode+groupBy twice. Materialize it once; the dangling
+        # branch always runs with chain=1, so this adds one cheap action
+        # per superstep and removes a full m-row re-aggregation.
         mass = (
             rk.join(w_adj, "vid", "left")
             .select(
@@ -136,6 +143,7 @@ def trustrank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
