@@ -80,31 +80,82 @@ def hyper_anf(
     vertices: DataFrame,
     max_h: int = 8,
     seed: str = "anf",
+    broadcast_state_max_rows: int | None = None,
 ) -> DataFrame:
     """(h, nf) for h = 0..max_h: nf ≈ Σ_v |ball(v, h)| — the neighborhood
     function (h=0 row ≈ n, a built-in sanity anchor). One superstep per
     hop: every vertex takes the elementwise max of its own and its
-    neighbors' registers (ONE shuffle: state joins the edge table, the 16
-    max() aggregates partial-combine map-side), localCheckpoint per hop
-    truncates lineage. The per-h estimates are computed lazily from each
-    hop's checkpointed state and unioned — n-row scans, no extra shuffles.
+    neighbors' registers; localCheckpoint per hop truncates lineage. The
+    per-h estimates are computed lazily from each hop's checkpointed state
+    and unioned — n-row scans, no extra shuffles.
+
+    r6 hop shapes (identical register values either way — max is
+    order-free):
+
+    - GATHER (n ≤ ``broadcast_state_max_rows``, default env
+      ``SPARK_GRAFT_ANF_BCAST_MAX`` = 2,000,000): the in-adjacency is
+      cached hash-partitioned on vid; per hop, explode + BROADCAST join of
+      the n-row register state + a groupBy on the partition-preserved vid
+      + a co-partitioned left join back to the state — zero shuffle of the
+      m-row message volume per hop (the old shape shuffled ~m·M register
+      ints every hop, and random dst order made map-side partial
+      aggregation nearly useless).
+    - SCATTER (above the gate): the original edges⋈state → groupBy shape —
+      broadcasting an n-row state is not scale-safe past ~10⁶ vertices, so
+      big graphs keep the shuffle (guide §3.1: broadcast only what fits).
     """
+    import os
+
     state = vertices.select(
         "vid", *_init_reg_cols(F.col("vid"), seed)
     ).localCheckpoint(eager=True)
     states = [state]
     edges = sym_edges.select("src", "dst")
-    for _ in range(max_h):
-        msgs = edges.join(
-            state.withColumnRenamed("vid", "src"), "src"
-        ).select(F.col("dst").alias("vid"), *_REGS)
-        state = (
-            msgs.unionByName(state)
-            .groupBy("vid")
-            .agg(*[F.max(r).alias(r) for r in _REGS])
-            .localCheckpoint(eager=True)
+    gate = (
+        broadcast_state_max_rows
+        if broadcast_state_max_rows is not None
+        else int(os.environ.get("SPARK_GRAFT_ANF_BCAST_MAX", "2000000"))
+    )
+    if state.count() <= gate:
+        in_adj = (
+            edges.groupBy(F.col("dst").alias("vid"))
+            .agg(F.collect_list("src").alias("nbrs"))
+            .cache()
         )
-        states.append(state)
+        for _ in range(max_h):
+            nbr_max = (
+                in_adj.select("vid", F.explode("nbrs").alias("src"))
+                .join(F.broadcast(state.withColumnRenamed("vid", "src")), "src")
+                .groupBy("vid")
+                .agg(*[F.max(r).alias(f"_m{r}") for r in _REGS])
+            )
+            state = (
+                state.join(F.broadcast(nbr_max), "vid", "left")
+                .select(
+                    "vid",
+                    *[
+                        F.greatest(
+                            F.col(r), F.coalesce(F.col(f"_m{r}"), F.lit(0))
+                        ).alias(r)
+                        for r in _REGS
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+            states.append(state)
+        in_adj.unpersist()
+    else:
+        for _ in range(max_h):
+            msgs = edges.join(
+                state.withColumnRenamed("vid", "src"), "src"
+            ).select(F.col("dst").alias("vid"), *_REGS)
+            state = (
+                msgs.unionByName(state)
+                .groupBy("vid")
+                .agg(*[F.max(r).alias(r) for r in _REGS])
+                .localCheckpoint(eager=True)
+            )
+            states.append(state)
 
     est = _estimate_col()
     curves = [
