@@ -195,7 +195,20 @@ def ngram_jaccard_pairs(
     for each candidate pair (from LSH by default). Round 4dp."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs)
-    g = docs.select("doc_id", shingles_col(ngram).alias("grams"))
+    # r6 (guide §2.3 — filter before the expensive work): the shingle
+    # array was being built for EVERY doc, twice (the ga and gb sides are
+    # separate map subtrees with no exchange to reuse), while the inner
+    # joins keep only candidate-pair members. Materialize the bounded
+    # candidate set, then build shingles only for docs it references.
+    candidates = candidates.localCheckpoint(eager=True)
+    ids = (
+        candidates.select(F.col("a").alias("doc_id"))
+        .union(candidates.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    g = docs.join(ids, "doc_id", "left_semi").select(
+        "doc_id", shingles_col(ngram).alias("grams")
+    )
     ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -406,7 +419,17 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (LSH by default); 4dp both sides."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs)
-    g = docs.select("doc_id", shingles_col(ngram).alias("grams"))
+    # r6: same bounded-candidates prefilter as ngram_jaccard_pairs — build
+    # shingles only for docs a candidate pair references
+    candidates = candidates.localCheckpoint(eager=True)
+    ids = (
+        candidates.select(F.col("a").alias("doc_id"))
+        .union(candidates.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    g = docs.join(ids, "doc_id", "left_semi").select(
+        "doc_id", shingles_col(ngram).alias("grams")
+    )
     ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
