@@ -74,7 +74,11 @@ def test_pagerank_dangling_chains_without_per_step_actions(spark, monkeypatch):
     monkeypatch.undo()
 
     assert calls["collect"] == 0  # dangling mass never hits the driver
-    assert calls["ckpt"] == 4  # init + one per superstep (chain gated to 1)
+    # init + TWO per superstep since r6: the mass aggregate is materialized
+    # before the broadcast dangling fold (the fold's BroadcastExchange
+    # re-executed the m-row explode+groupBy every superstep otherwise),
+    # then the state checkpoint (chain gated to 1 on dangling graphs)
+    assert calls["ckpt"] == 7
 
     got = np.zeros(4)
     for r in result.collect():

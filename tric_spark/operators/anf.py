@@ -34,6 +34,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tric_spark.plans.lineage import checkpoint_cut
+
 M = 16            # registers per vertex (b = 4 index bits)
 ALPHA_16 = 0.673  # standard HLL bias constant for m=16
 FIELD_BITS = 48   # rho field: 12 hex digits of the md5
@@ -140,8 +142,8 @@ def hyper_anf(
                         for r in _REGS
                     ],
                 )
-                .localCheckpoint(eager=True)
             )
+            state = checkpoint_cut(state)
             states.append(state)
         in_adj.unpersist()
     else:

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tric_spark.plans.lineage import checkpoint_cut
+
 
 def hits(
     directed: DataFrame,
@@ -107,8 +109,8 @@ def hits(
             .select(
                 "vid", src_col, F.coalesce("_raw", F.lit(0.0)).alias("_raw")
             )
-            .localCheckpoint(eager=True)
         )
+        upd = checkpoint_cut(upd)
         # L2 norm as a broadcast 1-row aggregate — in-plan, no collect;
         # NULLIF-style floor keeps an edgeless graph at 0.0 instead of NaN
         nrm = upd.agg(

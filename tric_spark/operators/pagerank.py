@@ -34,6 +34,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tric_spark.plans.lineage import checkpoint_cut
 from tric_spark.streaming.supersteps import SuperstepDriver
 
 
@@ -202,12 +203,18 @@ def pagerank(
         # exchange reuse computes the aggregate once per action — and the
         # dangling mass is folded back in as a broadcast 1-row aggregate,
         # NOT a driver collect: the step stays fully lazy and chains.
-        # r6: materialized — the aggregate feeds the main join AND the
-        # dangling fold, and the fold's BroadcastExchange re-executes its
-        # subplan (reuse does not cross a broadcast boundary), so the
-        # un-cut superstep ran the explode+groupBy twice; the dangling
-        # branch always runs with chain=1, so this adds one cheap action
-        # and removes a full m-row re-aggregation per superstep.
+        # r6: materialized with checkpoint_cut — the aggregate feeds the
+        # main join AND the dangling fold, and the fold's BroadcastExchange
+        # re-executes its subplan (reuse does not cross a broadcast
+        # boundary), so the un-cut superstep ran the explode+groupBy twice;
+        # the dangling branch always runs with chain=1, so this adds one
+        # cheap action and removes a full m-row re-aggregation per
+        # superstep. It must be the stats-cutting variant: the step
+        # references rk twice (mass build + output join), so a plain
+        # localCheckpoint's preserved origin stats SQUARE per superstep —
+        # measured: host_pagerank's convergence run threw "BigInteger
+        # would overflow supported range" (the plans/lineage.py failure
+        # mode) with plain localCheckpoint here.
         mass = (
             rk.join(adj, "vid", "left")
             .select(
@@ -218,8 +225,8 @@ def pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
-            .localCheckpoint(eager=True)
         )
+        mass = checkpoint_cut(mass)
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
@@ -320,8 +327,8 @@ def weighted_pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
-            .localCheckpoint(eager=True)
         )
+        mass = checkpoint_cut(mass)
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
@@ -411,8 +418,8 @@ def personalized_pagerank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
-            .localCheckpoint(eager=True)
         )
+        mass = checkpoint_cut(mass)
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tric_spark.plans.lineage import checkpoint_cut
+
 
 def _u01(vid, seed: int):
     h = F.md5(
@@ -109,8 +111,8 @@ def fiedler_vector(
                     (F.col("x") + F.coalesce("nx", F.lit(0.0))) / 2
                 ).alias("nx"),
             )
-            .localCheckpoint(eager=True)
         )
+        j = checkpoint_cut(j)
         proj = j.agg(F.sum(F.col("nx") * F.col("v1")).alias("_p"))
         defl = j.crossJoin(F.broadcast(proj)).select(
             "vid", "v1", (F.col("nx") - F.col("_p") * F.col("v1")).alias("y")

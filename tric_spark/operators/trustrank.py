@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tric_spark.operators.pagerank import _chain_policy, _iterate
+from tric_spark.plans.lineage import checkpoint_cut
 
 
 def trusted_seed_hosts(hosts: DataFrame, max_digit: int = 4) -> DataFrame:
@@ -143,8 +144,8 @@ def trustrank(
             )
             .groupBy("tvid")
             .agg(F.sum("c").alias("in_mass"))
-            .localCheckpoint(eager=True)
         )
+        mass = checkpoint_cut(mass)
         dang = mass.filter(F.col("tvid").isNull()).agg(
             F.coalesce(F.sum("in_mass"), F.lit(0.0)).alias("_dm")
         )
