@@ -194,6 +194,68 @@ def cc_star(
     return known.union(isolated)
 
 
+def components_of_pairs(
+    pairs: DataFrame,
+    local_cutover: int | None = 100_000,
+    max_iter: int = 200,
+) -> DataFrame:
+    """(vid, comp) over the undirected pair graph ``pairs`` (a, b) —
+    comp = min member vid, vertices = pair endpoints. The closure the
+    dedup family (neardup_groups / semantic_dedup) runs over its
+    verified duplicate pairs.
+
+    r6 size gate: duplicate-pair graphs are usually TINY relative to the
+    corpus (hundreds of rows at sf0.1), but hash-min CC still pays
+    O(diameter) superstep barriers on them — measured ~1.5–2 s of pure
+    per-action floor per query. Under ``local_cutover`` pair rows the
+    closure runs driver-side instead: one bounded collect + union-find
+    with min-vid relabeling — identical labels by construction (min over
+    a merged component IS the global min). Above the gate (or with
+    ``None``) the distributed hash-min kernel runs as before; the
+    collect is bounded by the cutover at any corpus scale."""
+    pairs = pairs.select(
+        F.col(pairs.columns[0]).alias("a"), F.col(pairs.columns[1]).alias("b")
+    )
+    if local_cutover is not None:
+        rows = None
+        if pairs.count() <= local_cutover:
+            rows = pairs.collect()
+        if rows is not None:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                for v in (r["a"], r["b"]):
+                    if v not in parent:
+                        parent[v] = v
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    parent[ra] = rb
+            mn: dict = {}
+            for v in parent:
+                root = find(v)
+                if root not in mn or v < mn[root]:
+                    mn[root] = v
+            out = [(v, mn[find(v)]) for v in parent]
+            from pyspark.sql.types import StructField, StructType
+
+            dt = pairs.schema["a"].dataType
+            schema = StructType(
+                [StructField("vid", dt, False), StructField("comp", dt, False)]
+            )
+            return pairs.sparkSession.createDataFrame(out, schema)
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    return connected_components(sym, verts, max_iter=max_iter)
+
+
 def cc_incremental(
     prev_labels: DataFrame,
     new_edges: DataFrame,

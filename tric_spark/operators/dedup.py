@@ -261,7 +261,7 @@ def neardup_groups(
     An explicitly supplied ``candidates`` frame references raw doc_ids, so
     it bypasses the pre-pass and runs the unguarded pipeline as before.
     """
-    from tric_spark.operators.cc import connected_components
+    from tric_spark.operators.cc import components_of_pairs
 
     if candidates is None:
         # NULL-text docs are excluded up front (ADVICE r3): the unguarded
@@ -301,12 +301,11 @@ def neardup_groups(
         .select("a", "b")
         .cache()
     )
-    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    verts = sym.select(F.col("src").alias("vid")).distinct()
-    comp = connected_components(sym, verts)
-    # comp is checkpointed and CC's adjacency cache is materialized —
+    # r6: size-gated closure — tiny duplicate-pair graphs finish driver-
+    # side (bounded union-find, identical min-vid labels); big ones run
+    # the distributed hash-min kernel (see cc.components_of_pairs)
+    comp = components_of_pairs(pairs)
+    # comp is materialized (local) or checkpointed (distributed) —
     # nothing lazy references pairs anymore
     pairs.unpersist()
     rep_groups = comp.select(F.col("vid").alias("doc_id"), F.col("comp").alias("rep_id"))

@@ -90,7 +90,7 @@ def semantic_dedup(
     group. Only members of a group of size > 1 appear (everything else is
     semantically unique at this threshold). Keep policy for a pipeline:
     retain rep_id (or sample within groups, per the paper's ablations)."""
-    from tric_spark.operators.cc import connected_components
+    from tric_spark.operators.cc import components_of_pairs
 
     # r6: the pair frame feeds CC through sym (both orientations), its
     # vertex derivation, and the CC kernel's cached adjacency — those are
@@ -101,13 +101,10 @@ def semantic_dedup(
         embeddings, threshold, n_centroids, refine, id_col, vec_col,
         max_cell, audit,
     ).cache()
-    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    verts = sym.select(F.col("src").alias("vid")).distinct()
-    comp = connected_components(sym, verts)
-    # comp is checkpointed and CC's adjacency cache is materialized —
-    # nothing lazy references pairs anymore
+    # r6: size-gated closure — tiny duplicate-pair graphs finish driver-
+    # side (bounded union-find, identical min-vid labels); big ones run
+    # the distributed hash-min kernel (see cc.components_of_pairs)
+    comp = components_of_pairs(pairs)
     pairs.unpersist()
     return comp.select(F.col("vid").alias("vec_id"), F.col("comp").alias("rep_id"))
 
