@@ -65,6 +65,12 @@ def fiedler_vector(
     # weighted adjacency with 1/sqrt(d_u d_v) folded in at build time
     dl = deg.select(F.col("vid").alias("src"), F.col("d").alias("ds"))
     dr = deg.select(F.col("vid").alias("dst"), F.col("d").alias("dt"))
+    # r6 (guide §2.4 — establish the partitioning once): the degree joins
+    # are broadcasts, so the cached frame inherited the raw edge scan's
+    # arbitrary partitioning and EVERY superstep re-exchanged + re-sorted
+    # all m rows for its SortMergeJoin against the n-row state. Hash-
+    # partition and sort by vid at build; the cache preserves both, so
+    # per superstep only the n-row state moves.
     wadj = (
         sym_edges.join(dl, "src")
         .join(dr, "dst")
@@ -73,6 +79,8 @@ def fiedler_vector(
             F.col("dst").alias("nbr"),
             (F.lit(1.0) / F.sqrt(F.col("ds") * F.col("dt"))).alias("w"),
         )
+        .repartition("vid")
+        .sortWithinPartitions("vid")
         .cache()
     )
     wadj.count()
